@@ -1,0 +1,116 @@
+"""Multi-period + multi-scale discriminator ensemble (reference models.py:170-257).
+
+Waveforms are ``(B, samples, 1)``. Each discriminator returns (logits, fmaps);
+the ensemble returns per-discriminator lists for real and generated inputs --
+the exact structure the loss layer consumes (losses.py:7-43).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from smart_vocoder_tpu.nn import LRELU_SLOPE, NormConv1d, NormConv2d
+
+
+def _get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return int((kernel_size * dilation - dilation) / 2)
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator: fold time into (T/p, p) and convolve along T/p
+    with (k, 1) kernels (ref: models.py:170-204)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        fmap = []
+        b, t, c = x.shape
+        if t % self.period != 0:  # reflect-pad to a multiple of the period
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, c)  # NHWC
+
+        pad = _get_padding(self.kernel_size, 1)
+        for i, ch in enumerate([32, 128, 512, 1024, 1024]):
+            stride = self.stride if i < 4 else 1
+            x = NormConv2d(
+                ch, (self.kernel_size, 1), (stride, 1), (pad, 0),
+                dtype=self.dtype, name=f"convs_{i}",
+            )(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = NormConv2d(1, (3, 1), (1, 1), (1, 0), dtype=self.dtype, name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator on the raw waveform: grouped strided 1-D convs
+    (ref: models.py:207-232)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        fmap = []
+        b = x.shape[0]
+        specs = [  # (features, kernel, stride, groups, padding) per models.py:211-218
+            (16, 15, 1, 1, 7),
+            (64, 41, 4, 4, 20),
+            (256, 41, 4, 16, 20),
+            (1024, 41, 4, 64, 20),
+            (1024, 41, 4, 256, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for i, (ch, k, s, g, p) in enumerate(specs):
+            x = NormConv1d(ch, k, stride=s, padding=p, groups=g, weight_norm=True,
+                           dtype=self.dtype, name=f"convs_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = NormConv1d(1, 3, stride=1, padding=1, weight_norm=True,
+                       dtype=self.dtype, name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """1x DiscriminatorS + 5x DiscriminatorP (periods 2,3,5,7,11)
+    (ref: models.py:235-257). The reference's ``use_spectral_norm`` config key
+    is False in both shipped configs; spectral norm is not implemented and a
+    True value raises."""
+
+    use_spectral_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.use_spectral_norm:
+            raise NotImplementedError(
+                "spectral norm discriminators are not implemented (both reference "
+                "configs set use_spectral_norm=false, configs/iitp_base.json)"
+            )
+        periods = [2, 3, 5, 7, 11]
+        discs = [DiscriminatorS(dtype=self.dtype, name="discriminators_0")]
+        discs += [
+            DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i + 1}")
+            for i, p in enumerate(periods)
+        ]
+        self.discs = discs
+
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for d in self.discs:
+            y_d_r, fmap_r = d(y)
+            y_d_g, fmap_g = d(y_hat)
+            y_d_rs.append(y_d_r)
+            y_d_gs.append(y_d_g)
+            fmap_rs.append(fmap_r)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

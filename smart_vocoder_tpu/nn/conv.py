@@ -1,0 +1,224 @@
+"""Convolution modules with torch-compatible weight-norm parameterization.
+
+The reference weight-norms nearly every conv (modules.py:128-146,
+models.py:125, :177-183, :212-219) via ``torch.nn.utils.weight_norm``:
+``w = g * v / ||v||`` with the norm taken over all dims except dim 0. To make
+reference checkpoints load directly and to keep training dynamics faithful,
+parameters here are stored in the *torch layout*:
+
+  Conv1d          weight (out, in/groups, k)        norm over (in/groups, k)
+  ConvTranspose1d weight (in, out/groups, k)        norm over (out/groups, k)
+  Conv2d          weight (out, in, kh, kw)          norm over (in, kh, kw)
+
+and transposed to XLA's HIO/HWIO layout at apply time (a few-KB transpose XLA
+folds into the weight-prep epilogue). ``fold_weight_norm`` bakes ``g, v`` into
+a plain ``weight`` for inference -- the TPU equivalent of the reference's
+``remove_weight_norm`` (models.py:162-167, modules.py:178-184).
+
+Initialization matches torch Conv defaults (kaiming-uniform bound
+``1/sqrt(fan_in)`` for weight and bias); with weight norm, ``g`` starts at
+``||v||`` exactly like torch's wrapper. Note the reference's 0.01-normal
+``init_weights`` (commons.py:8-11) is a no-op on weight-normed convs -- the
+pre-forward hook recomputes ``weight`` from ``v, g`` -- so it is intentionally
+not reproduced.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+LRELU_SLOPE = 0.1  # reference: modules.py:17
+
+
+def _torch_conv_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _norm_except_dim0(v: jnp.ndarray) -> jnp.ndarray:
+    """L2 norm over all dims except 0, keepdims (torch norm_except_dim)."""
+    axes = tuple(range(1, v.ndim))
+    return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+
+
+class _WeightNormMixin:
+    """Shared weight creation for the conv modules below."""
+
+    def _weight(self, shape: Sequence[int], fan_in: int, zero_init: bool) -> jnp.ndarray:
+        if zero_init:
+            w_init = nn.initializers.zeros
+        else:
+            w_init = _torch_conv_init(fan_in)
+        if not self.weight_norm:
+            return self.param("weight", w_init, tuple(shape))
+        v = self.param("weight_v", w_init, tuple(shape))
+        g_shape = (shape[0],) + (1,) * (len(shape) - 1)
+        # torch weight_norm initializes g = ||v|| so the initial effective
+        # weight equals v; the lambda closes over the freshly created v.
+        g = self.param("weight_g", lambda rng, s: _norm_except_dim0(v).reshape(s), g_shape)
+        return v * (g / _norm_except_dim0(v))
+
+    def _bias(self, out_channels: int, fan_in: int) -> jnp.ndarray | None:
+        if not self.use_bias:
+            return None
+        return self.param("bias", _torch_conv_init(fan_in), (out_channels,))
+
+
+class NormConv1d(nn.Module, _WeightNormMixin):
+    """1-D conv over ``(B, T, C)`` with optional torch-style weight norm.
+
+    ``padding`` is the explicit symmetric padding integer the reference passes
+    (commons.py:14-15 ``get_padding``).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+    zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0, (in_ch, self.groups)
+        shape = (self.features, in_ch // self.groups, self.kernel_size)
+        fan_in = shape[1] * self.kernel_size
+        w = self._weight(shape, fan_in, self.zero_init)
+        b = self._bias(self.features, fan_in)
+
+        w = jnp.transpose(w, (2, 1, 0)).astype(self.dtype)  # -> (k, in/g, out) HIO
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+        )
+        if b is not None:
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class NormConvTranspose1d(nn.Module, _WeightNormMixin):
+    """Transposed 1-D conv matching ``torch.nn.ConvTranspose1d(k, s, padding=p)``.
+
+    Implemented as an input-dilated (``lhs_dilation``) conv with the kernel
+    flipped and padding ``k - 1 - p`` -- the standard forward-conv equivalence,
+    so output length is ``(T-1)*s + k - 2p`` (= ``T*s`` for the generator's
+    ``p=(k-u)//2`` choice, models.py:124-127).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        shape = (in_ch, self.features, self.kernel_size)  # torch (in, out, k)
+        fan_in = shape[1] * self.kernel_size  # torch fan-in convention for transposed convs
+        w = self._weight(shape, fan_in, zero_init=False)
+        b = self._bias(self.features, fan_in)
+
+        # Equivalent forward-conv kernel: flip taps, (k, in, out) HIO.
+        w = jnp.transpose(jnp.flip(w, axis=2), (2, 0, 1)).astype(self.dtype)
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if b is not None:
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class NormConv2d(nn.Module, _WeightNormMixin):
+    """2-D conv over ``(B, H, W, C)`` for the period discriminators
+    (models.py:176-183)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    weight_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        shape = (self.features, in_ch, kh, kw)  # torch (out, in, kh, kw)
+        fan_in = in_ch * kh * kw
+        w = self._weight(shape, fan_in, zero_init=False)
+        b = self._bias(self.features, fan_in)
+
+        w = jnp.transpose(w, (2, 3, 1, 0)).astype(self.dtype)  # -> HWIO
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            w,
+            window_strides=self.stride,
+            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if b is not None:
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def fold_weight_norm(params):
+    """Bake ``weight_v``/``weight_g`` pairs into plain ``weight`` leaves.
+
+    The inference-time analogue of the reference's ``remove_weight_norm``:
+    after folding, each conv computes one weight transpose instead of a
+    normalize-rescale chain. Modules accept either parameterization because
+    the fold preserves the pytree structure consumed by `_WeightNormMixin`
+    only if the module is rebuilt with ``weight_norm=False``; use together
+    with a model constructed via ``build_model(..., folded=True)``.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    done = set()
+    for path, leaf in flat.items():
+        if path in done:
+            continue
+        if path[-1] == "weight_v":
+            g_path = path[:-1] + ("weight_g",)
+            v = leaf
+            g = flat[g_path]
+            out[path[:-1] + ("weight",)] = v * (g / _norm_except_dim0(v))
+            done.add(g_path)
+        elif path[-1] == "weight_g":
+            v_path = path[:-1] + ("weight_v",)
+            if v_path in flat:
+                continue  # handled with its v
+            out[path] = leaf
+        else:
+            out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)

@@ -10,10 +10,18 @@ Must set env vars before the first ``import jax`` anywhere in the test run.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU plugin,
+# but tests want the deterministic f32 host backend + a virtual 8-device mesh.
+# jax is already imported by pytest plugin autoloading, so setting the env var
+# is not enough -- update the live config (safe while no backend exists yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Make the repo root importable regardless of how pytest is invoked.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
