@@ -227,14 +227,20 @@ class SynthesizerTrn(nn.Module):
     n_speakers: int = 0
     gin_channels: int = 0
     use_spk_embed: bool = False
+    # Encoder/flow depths: the reference hardcodes 16/16/8 (models.py:305-314);
+    # configurable here for scaled variants and fast tests.
+    enc_layers: int = 16
+    flow_wn_layers: int = 8
+    n_mels: int = 80
     dtype: jnp.dtype = jnp.float32
     weight_norm: bool = True
 
     def setup(self):
         self.enc_p = MelEncoder(
             self.inter_channels, self.hidden_channels,
-            n_layers=16, kernel_size=5, dilation_rate=1,  # hardcoded in ref (models.py:305-311)
-            gin_channels=self.gin_channels, dtype=self.dtype, weight_norm=self.weight_norm,
+            n_layers=self.enc_layers, kernel_size=5, dilation_rate=1,
+            gin_channels=self.gin_channels, n_mels=self.n_mels,
+            dtype=self.dtype, weight_norm=self.weight_norm,
         )
         self.dec = Generator(
             self.inter_channels, self.resblock, self.resblock_kernel_sizes,
@@ -244,11 +250,11 @@ class SynthesizerTrn(nn.Module):
         )
         self.enc_q = PosteriorEncoder(
             self.spec_channels, self.inter_channels, self.hidden_channels,
-            5, 1, 16, gin_channels=self.gin_channels, dtype=self.dtype,
+            5, 1, self.enc_layers, gin_channels=self.gin_channels, dtype=self.dtype,
             weight_norm=self.weight_norm,
         )
         self.flow = ResidualCouplingBlock(
-            self.inter_channels, self.hidden_channels, 5, 1, 8,
+            self.inter_channels, self.hidden_channels, 5, 1, self.flow_wn_layers,
             gin_channels=self.gin_channels, dtype=self.dtype, weight_norm=self.weight_norm,
         )
         if self.use_spk_embed and self.n_speakers > 0 and self.gin_channels > 0:

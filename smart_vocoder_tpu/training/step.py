@@ -1,0 +1,194 @@
+"""The jitted GAN train step (reference train.py:123-213, as one XLA program).
+
+One step = both GAN phases, mirroring the reference's semantics and order:
+
+  1. generator forward (posterior -> flow -> random 32-frame slice -> decode)
+  2. NDA jigsaw negative: permute 4 chunks of the real slice, mix
+     ``0.75*y_hat + 0.25*y_jigsaw`` (train.py:168-181 -- the repo's main
+     training-loop novelty, kept exactly)
+  3. D update on (y, stop_gradient(y_negative))                (train.py:185-196)
+  4. G update through the *updated* D on (y, y_hat)            (train.py:198-213)
+     with composite loss gen + fm + c_mel*melL1 + c_kl*KL      (train.py:202-207)
+
+Losses are float32 islands regardless of compute dtype (train.py:189, :201).
+The reference's ``clip_grad_value_(params, None)`` never clips -- it only
+measures the global grad norm for logging (commons.py:146-161); same here.
+
+Randomness is explicit: one step key is split into posterior-noise, slice, and
+jigsaw keys (the reference relies on unseeded global torch RNG,
+commons.py:62, train.py:171).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from smart_vocoder_tpu import losses as losses_lib
+from smart_vocoder_tpu.ops import MelConfig, mel_spectrogram, slice_segments, spec_to_mel
+
+
+@flax.struct.dataclass
+class Batch:
+    """One padded, static-shape training batch (see data/pipeline.py)."""
+
+    spec: jnp.ndarray          # (B, T, n_fft//2+1) float32
+    spec_lengths: jnp.ndarray  # (B,) int32
+    wav: jnp.ndarray           # (B, T*hop, 1) float32
+    wav_lengths: jnp.ndarray   # (B,) int32
+    sid: Optional[jnp.ndarray] = None  # (B,) int32 speaker ids (ms configs)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params_g: Any
+    params_d: Any
+    opt_g: optax.OptState
+    opt_d: optax.OptState
+
+
+def _nda_jigsaw(rng: jax.Array, y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
+    """Jigsaw negative (train.py:168-181): one shared randperm of 4 time
+    chunks; identity permutation falls back to y_hat."""
+    b, seg, _ = y.shape
+    perm = jax.random.permutation(rng, 4)
+    y_jig = y.reshape(b, 4, seg // 4, 1)[:, perm].reshape(b, seg, 1)
+    is_identity = jnp.all(perm == jnp.arange(4))
+    y_jigsaw = jnp.where(is_identity, y_hat, y_jig)
+    return 0.75 * y_hat + 0.25 * y_jigsaw
+
+
+def make_train_step(
+    hps,
+    g_module,
+    d_module,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Build the jitted train step closure over static config + modules."""
+    mel_cfg = MelConfig.from_hparams(hps)
+    hop = hps.data.hop_length
+    seg_frames = hps.train.segment_size // hop
+    seg_samples = hps.train.segment_size
+    c_mel = float(hps.train.c_mel)
+    c_kl = float(hps.train.c_kl)
+
+    def g_forward(params_g, batch: Batch, mel, rng):
+        return g_module.apply(
+            {"params": params_g}, mel, batch.spec_lengths, batch.spec,
+            batch.spec_lengths, rng, sid=batch.sid,
+        )
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        rng_g, rng_nda = jax.random.split(rng)
+        mel = spec_to_mel(batch.spec, mel_cfg)
+
+        # ---- generator forward (shared by both phases via identical rng_g) --
+        y_hat, ids_slice, x_mask, z_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = g_forward(
+            state.params_g, batch, mel, rng_g
+        )
+
+        y_mel = slice_segments(mel, ids_slice, seg_frames)
+        y = slice_segments(batch.wav, ids_slice * hop, seg_samples)
+        y_negative = _nda_jigsaw(rng_nda, y, y_hat)
+        y_negative = jax.lax.stop_gradient(y_negative)  # train.py:185 .detach()
+
+        # ---- discriminator phase (train.py:184-196) -------------------------
+        def loss_d_fn(params_d):
+            y_d_hat_r, y_d_hat_g, _, _ = d_module.apply({"params": params_d}, y, y_negative)
+            loss_disc, losses_disc_r, losses_disc_g = losses_lib.discriminator_loss(
+                y_d_hat_r, y_d_hat_g
+            )
+            return loss_disc, (losses_disc_r, losses_disc_g)
+
+        (loss_disc, (losses_disc_r, losses_disc_g)), grads_d = jax.value_and_grad(
+            loss_d_fn, has_aux=True
+        )(state.params_d)
+        grad_norm_d = optax.global_norm(grads_d)
+        updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, updates_d)
+
+        # ---- generator phase, through the UPDATED discriminator -------------
+        # (reference steps optim_d before re-running net_d(y, y_hat),
+        # train.py:196-200)
+        def loss_g_fn(params_g):
+            y_hat_g, ids_g, _, z_mask_g, (_, z_p_g, m_p_g, logs_p_g, _, logs_q_g) = g_forward(
+                params_g, batch, mel, rng_g
+            )
+            y_mel_g = slice_segments(mel, ids_g, seg_frames)
+            y_hat_mel = mel_spectrogram(y_hat_g[..., 0].astype(jnp.float32), mel_cfg)
+            y_g = slice_segments(batch.wav, ids_g * hop, seg_samples)
+
+            y_d_hat_r, y_d_hat_g, fmap_r, fmap_g = d_module.apply(
+                {"params": params_d}, y_g, y_hat_g
+            )
+            loss_mel = losses_lib.mel_l1_loss(y_mel_g, y_hat_mel) * c_mel
+            loss_kl = losses_lib.kl_loss(z_p_g, logs_q_g, m_p_g, logs_p_g, z_mask_g) * c_kl
+            fmap_r = jax.lax.stop_gradient(fmap_r)  # losses.py:11 .detach()
+            loss_fm = losses_lib.feature_loss(fmap_r, fmap_g)
+            loss_gen, losses_gen = losses_lib.generator_loss(y_d_hat_g)
+            loss_gen_all = loss_gen + loss_fm + loss_mel + loss_kl
+            return loss_gen_all, (loss_gen, losses_gen, loss_fm, loss_mel, loss_kl)
+
+        (loss_gen_all, (loss_gen, losses_gen, loss_fm, loss_mel, loss_kl)), grads_g = (
+            jax.value_and_grad(loss_g_fn, has_aux=True)(state.params_g)
+        )
+        grad_norm_g = optax.global_norm(grads_g)
+        updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, updates_g)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params_g=params_g,
+            params_d=params_d,
+            opt_g=opt_g,
+            opt_d=opt_d,
+        )
+
+        # Scalar names match the reference TB dashboard (train.py:224-229).
+        metrics: Dict[str, jnp.ndarray] = {
+            "loss/g/total": loss_gen_all,
+            "loss/d/total": loss_disc,
+            "loss/g/fm": loss_fm,
+            "loss/g/mel": loss_mel,
+            "loss/g/kl": loss_kl,
+            "grad_norm_d": grad_norm_d,
+            "grad_norm_g": grad_norm_g,
+        }
+        for i, v in enumerate(losses_gen):
+            metrics[f"loss/g/{i}"] = v
+        for i, v in enumerate(losses_disc_r):
+            metrics[f"loss/d_r/{i}"] = v
+        for i, v in enumerate(losses_disc_g):
+            metrics[f"loss/d_g/{i}"] = v
+        return new_state, metrics
+
+    return train_step
+
+
+def init_train_state(hps, g_module, d_module, tx_g, tx_d, rng: jax.Array,
+                     batch: Batch) -> TrainState:
+    """Initialize params + optimizer states from one example batch."""
+    rng_g, rng_d, rng_noise = jax.random.split(rng, 3)
+    mel_cfg = MelConfig.from_hparams(hps)
+    mel = spec_to_mel(batch.spec, mel_cfg)
+    params_g = g_module.init(
+        rng_g, mel, batch.spec_lengths, batch.spec, batch.spec_lengths,
+        rng_noise, sid=batch.sid,
+    )["params"]
+    seg = jnp.zeros((batch.wav.shape[0], hps.train.segment_size, 1), batch.wav.dtype)
+    params_d = d_module.init(rng_d, seg, seg)["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=params_g,
+        params_d=params_d,
+        opt_g=tx_g.init(params_g),
+        opt_d=tx_d.init(params_d),
+    )
