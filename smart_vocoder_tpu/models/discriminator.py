@@ -21,11 +21,15 @@ def _get_padding(kernel_size: int, dilation: int = 1) -> int:
 
 class DiscriminatorP(nn.Module):
     """Period discriminator: fold time into (T/p, p) and convolve along T/p
-    with (k, 1) kernels (ref: models.py:170-204)."""
+    with (k, 1) kernels (ref: models.py:170-204).
+
+    ``width_mult`` scales channel counts (1.0 == reference widths); used for
+    cheap test variants and capacity sweeps."""
 
     period: int
     kernel_size: int = 5
     stride: int = 3
+    width_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -40,6 +44,7 @@ class DiscriminatorP(nn.Module):
 
         pad = _get_padding(self.kernel_size, 1)
         for i, ch in enumerate([32, 128, 512, 1024, 1024]):
+            ch = max(4, int(ch * self.width_mult))
             stride = self.stride if i < 4 else 1
             x = NormConv2d(
                 ch, (self.kernel_size, 1), (stride, 1), (pad, 0),
@@ -54,12 +59,16 @@ class DiscriminatorP(nn.Module):
 
 class DiscriminatorS(nn.Module):
     """Scale discriminator on the raw waveform: grouped strided 1-D convs
-    (ref: models.py:207-232)."""
+    (ref: models.py:207-232). ``width_mult`` as in DiscriminatorP; groups are
+    reduced to gcd(groups, in, out) which leaves reference widths unchanged."""
 
+    width_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        import math
+
         fmap = []
         b = x.shape[0]
         specs = [  # (features, kernel, stride, groups, padding) per models.py:211-218
@@ -71,6 +80,8 @@ class DiscriminatorS(nn.Module):
             (1024, 5, 1, 1, 2),
         ]
         for i, (ch, k, s, g, p) in enumerate(specs):
+            ch = max(8, int(ch * self.width_mult))
+            g = math.gcd(math.gcd(g, x.shape[-1]), ch)
             x = NormConv1d(ch, k, stride=s, padding=p, groups=g, weight_norm=True,
                            dtype=self.dtype, name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
@@ -88,6 +99,7 @@ class MultiPeriodDiscriminator(nn.Module):
     True value raises."""
 
     use_spectral_norm: bool = False
+    width_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -97,9 +109,11 @@ class MultiPeriodDiscriminator(nn.Module):
                 "configs set use_spectral_norm=false, configs/iitp_base.json)"
             )
         periods = [2, 3, 5, 7, 11]
-        discs = [DiscriminatorS(dtype=self.dtype, name="discriminators_0")]
+        discs = [DiscriminatorS(width_mult=self.width_mult, dtype=self.dtype,
+                                name="discriminators_0")]
         discs += [
-            DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i + 1}")
+            DiscriminatorP(p, width_mult=self.width_mult, dtype=self.dtype,
+                           name=f"discriminators_{i + 1}")
             for i, p in enumerate(periods)
         ]
         self.discs = discs

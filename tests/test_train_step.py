@@ -60,7 +60,7 @@ def tiny_models(hps):
         enc_layers=2,
         flow_wn_layers=2,
     )
-    d = MultiPeriodDiscriminator()
+    d = MultiPeriodDiscriminator(width_mult=0.125)
     return g, d
 
 
@@ -78,7 +78,9 @@ def synthetic_batch(hps, t_frames=32, batch=2, seed=0) -> Batch:
         spec_lengths=jnp.full((batch,), t_frames, jnp.int32),
         wav=jnp.asarray(wav),
         wav_lengths=jnp.full((batch,), t_frames * hop, jnp.int32),
-        sid=jnp.arange(batch, dtype=jnp.int32),
+        # wrap into the valid speaker range -- out-of-range ids make jnp.take
+        # fill NaN (torch would device-assert instead)
+        sid=jnp.arange(batch, dtype=jnp.int32) % hps.data.n_speakers,
     )
 
 
