@@ -1,0 +1,126 @@
+"""Inference API (L9): the mel->wav product path of inference.ipynb.
+
+``Vocoder`` wraps a jitted, weight-norm-folded ``SynthesizerTrn.infer`` with
+bucketed padding so arbitrary-length inputs reuse a bounded set of compiled
+programs. Loads either native orbax checkpoints or reference ``G_*.pth``
+files (notebook cells 2-4: get_hparams_from_file -> SynthesizerTrn ->
+load_checkpoint -> infer(noise_scale=.667)).
+"""
+
+from __future__ import annotations
+
+import bisect
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smart_vocoder_tpu.config import HParams, load_config
+from smart_vocoder_tpu.models import build_synthesizer
+from smart_vocoder_tpu.models.synthesizer import SynthesizerTrn
+from smart_vocoder_tpu.ops import MelConfig, mel_spectrogram, spec_to_mel, spectrogram
+
+
+class Vocoder:
+    """mel (B, T, 80) or wav -> waveform synthesis with static-shape buckets."""
+
+    def __init__(
+        self,
+        hps: HParams,
+        params_g,
+        dtype=jnp.bfloat16,
+        buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096),
+    ):
+        self.hps = hps
+        self.mel_cfg = MelConfig.from_hparams(hps)
+        self.buckets = sorted(buckets)
+        self.net = build_synthesizer(hps, dtype=dtype)
+        self.params = params_g
+        self._infer = jax.jit(
+            partial(self._apply_infer, self.net),
+            static_argnames=("noise_scale",),
+        )
+
+    @staticmethod
+    def _apply_infer(net, params, mel, lengths, rng, noise_scale, sid=None):
+        o, mask, _ = net.apply(
+            {"params": params}, mel, lengths, rng,
+            sid=sid, noise_scale=noise_scale, method=SynthesizerTrn.infer,
+        )
+        return o, mask
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_torch_checkpoint(cls, config_path: str, pth_path: str, **kw) -> "Vocoder":
+        """Load a reference G_*.pth (notebook cell 3)."""
+        from smart_vocoder_tpu.training.optim import make_optimizer
+        from smart_vocoder_tpu.utils.checkpoint import load_reference_generator
+
+        hps = load_config(config_path)
+        net = build_synthesizer(hps)
+        t = max(64, hps.train.segment_size // hps.data.hop_length * 2)
+        mel = jnp.zeros((1, t, hps.data.n_mel_channels))
+        spec = jnp.zeros((1, t, hps.data.filter_length // 2 + 1))
+        lens = jnp.full((1,), t, jnp.int32)
+        params = net.init(jax.random.key(0), mel, lens, spec, lens, jax.random.key(1))["params"]
+        params, _ = load_reference_generator(pth_path, params)
+        return cls(hps, params, **kw)
+
+    @classmethod
+    def from_orbax_checkpoint(cls, config_path: str, model_dir: str, **kw) -> "Vocoder":
+        from smart_vocoder_tpu.models import MultiPeriodDiscriminator
+        from smart_vocoder_tpu.training.loop import _synthetic_init_batch
+        from smart_vocoder_tpu.training.optim import make_optimizer
+        from smart_vocoder_tpu.training.step import init_train_state
+        from smart_vocoder_tpu.utils.checkpoint import CheckpointManager
+
+        hps = load_config(config_path)
+        net_g = build_synthesizer(hps)
+        net_d = MultiPeriodDiscriminator(hps.model.get("use_spectral_norm", False))
+        tx = make_optimizer(hps)
+        state = init_train_state(hps, net_g, net_d, tx, tx, jax.random.key(0),
+                                 _synthetic_init_batch(hps, 1))
+        mngr = CheckpointManager(model_dir)
+        state, _, _ = mngr.restore(state)
+        return cls(hps, state.params_g, **kw)
+
+    # -- synthesis -----------------------------------------------------------
+    def _bucket(self, t: int) -> int:
+        i = bisect.bisect_left(self.buckets, t)
+        return self.buckets[i] if i < len(self.buckets) else t
+
+    def mel_to_wav(
+        self,
+        mel: np.ndarray,
+        lengths: Optional[np.ndarray] = None,
+        noise_scale: float = 0.667,
+        sid: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> list[np.ndarray]:
+        """mel (B, T, n_mels) -> list of B float32 waveforms (true lengths)."""
+        mel = np.asarray(mel, np.float32)
+        b, t, _ = mel.shape
+        if lengths is None:
+            lengths = np.full((b,), t, np.int64)
+        padded_t = self._bucket(t)
+        if padded_t > t:
+            mel = np.pad(mel, ((0, 0), (0, padded_t - t), (0, 0)))
+        o, _ = self._infer(
+            self.params, jnp.asarray(mel), jnp.asarray(lengths, jnp.int32),
+            jax.random.key(seed), noise_scale=noise_scale,
+            sid=None if sid is None else jnp.asarray(sid, jnp.int32),
+        )
+        o = np.asarray(jax.device_get(o), np.float32)
+        hop = self.hps.data.hop_length
+        return [o[i, : int(lengths[i]) * hop, 0] for i in range(b)]
+
+    def wav_to_wav(self, wav: np.ndarray, **kw) -> np.ndarray:
+        """Copy-synthesis: waveform -> mel -> waveform (notebook cell 4)."""
+        wav = np.asarray(wav, np.float32).reshape(1, -1)
+        usable = (wav.shape[1] // self.hps.data.hop_length) * self.hps.data.hop_length
+        wav = wav[:, :usable]
+        spec = spectrogram(jnp.asarray(wav), self.mel_cfg)
+        mel = spec_to_mel(spec, self.mel_cfg)
+        return self.mel_to_wav(np.asarray(mel), **kw)[0]

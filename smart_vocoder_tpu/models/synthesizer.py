@@ -346,6 +346,9 @@ def build_synthesizer(hps, dtype=jnp.float32, weight_norm: bool = True) -> Synth
         n_speakers=hps.data.n_speakers,
         gin_channels=hps.model.gin_channels,
         use_spk_embed=bool(hps.model.get("use_spk_embed", False)),
+        enc_layers=int(hps.model.get("enc_layers", 16)),
+        flow_wn_layers=int(hps.model.get("flow_wn_layers", 8)),
+        n_mels=hps.data.n_mel_channels,
         dtype=dtype,
         weight_norm=weight_norm,
     )

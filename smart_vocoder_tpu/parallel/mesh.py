@@ -35,7 +35,8 @@ def make_mesh(
     if data == -1:
         assert n % model == 0, (n, model)
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    devices = devices[: data * model]
     dev_array = mesh_utils.create_device_mesh((data, model), devices=np.asarray(devices))
     return Mesh(dev_array, ("data", "model"))
 

@@ -1,0 +1,197 @@
+"""The training loop (L7): the TPU-native counterpart of train.py:52-310.
+
+Differences from the reference runtime, by design:
+  - no mp.spawn / process-per-device: one process drives all local devices
+    through pjit over the ('data','model') mesh; multi-host runs shard the
+    dataset by jax.process_index() (the DistributedBucketSampler rank axis).
+  - bf16 compute replaces fp16 AMP + GradScaler (no loss scaling needed on TPU).
+  - checkpoints are atomic orbax pytrees carrying G, D, both optimizer states,
+    step and epoch together (reference splits G_/D_ and reconstructs step from
+    epoch, train.py:104).
+
+Logging cadence, scalar names, eval behaviour (first eval sample only,
+max_len=1000), and LR schedule match the reference exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smart_vocoder_tpu.data import AudioSpecDataset, BucketSampler, BucketedLoader
+from smart_vocoder_tpu.models import MultiPeriodDiscriminator, build_synthesizer
+from smart_vocoder_tpu.models.synthesizer import SynthesizerTrn
+from smart_vocoder_tpu.ops import MelConfig, mel_spectrogram, spec_to_mel
+from smart_vocoder_tpu.parallel import make_mesh, shard_batch
+from smart_vocoder_tpu.parallel.mesh import jit_train_step, state_shardings
+from smart_vocoder_tpu.training.optim import lr_for_epoch, make_optimizer, set_learning_rate
+from smart_vocoder_tpu.training.step import Batch, init_train_state, make_train_step
+from smart_vocoder_tpu.utils import checkpoint as ckpt_lib
+from smart_vocoder_tpu.utils import logging_utils
+
+
+def _synthetic_init_batch(hps, batch_size: int) -> Batch:
+    """A minimal static batch for parameter initialization."""
+    frames = max(64, hps.train.segment_size // hps.data.hop_length * 2)
+    n_bins = hps.data.filter_length // 2 + 1
+    hop = hps.data.hop_length
+    sid = jnp.zeros((batch_size,), jnp.int32) if hps.data.n_speakers > 0 else None
+    if not bool(hps.model.get("use_spk_embed", False)):
+        sid = None
+    return Batch(
+        spec=jnp.zeros((batch_size, frames, n_bins), jnp.float32),
+        spec_lengths=jnp.full((batch_size,), frames, jnp.int32),
+        wav=jnp.zeros((batch_size, frames * hop, 1), jnp.float32),
+        wav_lengths=jnp.full((batch_size,), frames * hop, jnp.int32),
+        sid=sid,
+    )
+
+
+def run(hps, max_steps: Optional[int] = None) -> None:
+    """Train per the config; the equivalent of train.py's run() (train.py:52-120)."""
+    is_chief = jax.process_index() == 0
+    logger = logging_utils.get_logger(hps.model_dir) if is_chief else None
+    if is_chief:
+        logger.info(hps)
+        logging_utils.check_git_hash(hps.model_dir, logger)
+        writer = logging_utils.make_writer(hps.model_dir)
+        writer_eval = logging_utils.make_writer(f"{hps.model_dir}/eval")
+
+    mesh = make_mesh(data=hps.tpu.data_parallel, model=hps.tpu.model_parallel)
+    use_sid = bool(hps.model.get("use_spk_embed", False)) and hps.data.n_speakers > 0
+
+    train_dataset = AudioSpecDataset(hps.data.training_files, hps.data)
+    train_sampler = BucketSampler(
+        train_dataset.lengths,
+        hps.train.batch_size * mesh.shape["data"] // jax.process_count(),
+        list(hps.tpu.bucket_boundaries),
+        num_replicas=jax.process_count(),
+        rank=jax.process_index(),
+        shuffle=True,
+    )
+    train_loader = BucketedLoader(train_dataset, train_sampler, with_sid=use_sid)
+    if is_chief:
+        eval_dataset = AudioSpecDataset(hps.data.validation_files, hps.data)
+        eval_sampler = BucketSampler(
+            eval_dataset.lengths, 1, list(hps.tpu.bucket_boundaries), shuffle=False,
+        )
+        eval_loader = BucketedLoader(eval_dataset, eval_sampler, with_sid=use_sid)
+
+    dtype = jnp.bfloat16 if hps.tpu.bf16_run else jnp.float32
+    net_g = build_synthesizer(hps, dtype=dtype)
+    net_d = MultiPeriodDiscriminator(
+        hps.model.get("use_spectral_norm", False),
+        width_mult=float(hps.model.get("disc_width_mult", 1.0)),
+        dtype=dtype,
+    )
+    tx_g, tx_d = make_optimizer(hps), make_optimizer(hps)
+
+    init_batch = _synthetic_init_batch(hps, hps.train.batch_size)
+    state = init_train_state(hps, net_g, net_d, tx_g, tx_d,
+                             jax.random.key(hps.train.seed), init_batch)
+
+    mngr = ckpt_lib.CheckpointManager(hps.model_dir, keep=hps.tpu.keep_ckpts)
+    state, epoch_start, resumed = ckpt_lib.try_resume(mngr, state)
+    if is_chief and resumed:
+        logger.info("resumed from step %d (epoch %d)", int(state.step), epoch_start - 1)
+
+    state = jax.device_put(state, state_shardings(mesh, state))
+    step_fn = jit_train_step(make_train_step(hps, net_g, net_d, tx_g, tx_d), mesh, state)
+
+    # eval/infer fn (rank0): mirrors evaluate() (train.py:251-310)
+    mel_cfg = MelConfig.from_hparams(hps)
+    infer_fn = jax.jit(
+        partial(_infer_apply, net_g),
+        static_argnames=("max_len",),
+    )
+
+    base_key = jax.random.key(hps.train.seed + 1)
+    global_step = int(state.step)
+    for epoch in range(epoch_start, hps.train.epochs + 1):
+        train_sampler.set_epoch(epoch)
+        lr = lr_for_epoch(hps, epoch)
+        state = state.replace(
+            opt_g=set_learning_rate(state.opt_g, lr),
+            opt_d=set_learning_rate(state.opt_d, lr),
+        )
+
+        t_epoch = time.time()
+        for batch_idx, batch in enumerate(train_loader):
+            step_key = jax.random.fold_in(base_key, global_step)
+            batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch, step_key)
+
+            if is_chief and global_step % hps.train.log_interval == 0:
+                metrics = jax.device_get(metrics)
+                losses = [metrics["loss/d/total"], metrics["loss/g/total"],
+                          metrics["loss/g/fm"], metrics["loss/g/mel"], metrics["loss/g/kl"]]
+                logger.info("Train Epoch: %d [%.0f%%]", epoch,
+                            100.0 * batch_idx / max(1, len(train_loader)))
+                logger.info([float(x) for x in losses] + [global_step, lr])
+                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["learning_rate"] = lr
+                logging_utils.summarize(writer, global_step, scalars=scalars)
+
+            if is_chief and global_step % hps.train.eval_interval == 0:
+                _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg,
+                          writer_eval, global_step)
+                mngr.save(global_step, jax.device_get(state), epoch)
+
+            global_step += 1
+            if max_steps is not None and global_step >= max_steps:
+                if is_chief:
+                    mngr.save(global_step, jax.device_get(state), epoch)
+                    mngr.wait()
+                return
+
+        if is_chief:
+            logger.info("====> Epoch: %d (%.1fs)", epoch, time.time() - t_epoch)
+
+    if is_chief:
+        mngr.save(global_step, jax.device_get(state), hps.train.epochs)
+        mngr.wait()
+
+
+def _infer_apply(net_g, params_g, mel, lengths, rng, max_len=None):
+    return net_g.apply(
+        {"params": params_g}, mel, lengths, rng,
+        noise_scale=1.0, max_len=max_len, method=SynthesizerTrn.infer,
+    )
+
+
+def _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg, writer_eval,
+              global_step) -> None:
+    """First-eval-sample audio/image logging (ref: train.py:251-310)."""
+    try:
+        batch = next(iter(eval_loader))
+    except StopIteration:
+        return
+    mel = spec_to_mel(batch.spec[:1], mel_cfg)
+    y_hat, mask, _ = infer_fn(
+        state.params_g, mel, batch.spec_lengths[:1],
+        jax.random.key(0), max_len=1000 * hps.data.hop_length // hps.data.hop_length,
+    )
+    y_hat = np.asarray(jax.device_get(y_hat), dtype=np.float32)
+    y_hat_len = int(np.asarray(mask).sum() * hps.data.hop_length)
+
+    y_hat_mel = mel_spectrogram(jnp.asarray(y_hat[..., 0]), mel_cfg)
+    images = {
+        "gen/mel": logging_utils.plot_spectrogram_to_numpy(
+            np.asarray(y_hat_mel[0]).T
+        )
+    }
+    audios = {"gen/audio": y_hat[0, :y_hat_len, 0]}
+    if global_step == 0:
+        images["gt/mel"] = logging_utils.plot_spectrogram_to_numpy(np.asarray(mel[0]).T)
+        wav_len = int(batch.wav_lengths[0])
+        audios["gt/audio"] = np.asarray(batch.wav[0, :wav_len, 0])
+
+    logging_utils.summarize(
+        writer_eval, global_step, images=images, audios=audios,
+        audio_sampling_rate=hps.data.sampling_rate,
+    )
