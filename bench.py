@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: real-time factor of 22.05 kHz mel->wav synthesis per chip.
+
+Runs the flagship full-size generator (configs/iitp_base.json architecture) in
+bfloat16 on the available accelerator, batched inference over ~11.6 s
+utterances, and prints ONE JSON line:
+
+    {"metric": "rtf_22k05_synthesis", "value": <x realtime>, "unit": "x_realtime",
+     "vs_baseline": <value / 200>}
+
+``vs_baseline`` is measured against the BASELINE.md north-star target of
+200x real time per TPU v5e chip (the reference publishes no numbers of its
+own -- BASELINE.json "published": {}).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from smart_vocoder_tpu.config import load_config
+from smart_vocoder_tpu.models import build_synthesizer
+from smart_vocoder_tpu.models.synthesizer import SynthesizerTrn
+
+BATCH = 8
+FRAMES = 1000         # ~11.6 s of audio per utterance at hop 256 / 22.05 kHz
+WARMUP = 3
+ITERS = 30
+TARGET_RTF = 200.0    # BASELINE.json north star
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import os
+
+    cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs", "iitp_base.json")
+    hps = load_config(cfg)
+    sr = hps.data.sampling_rate
+    hop = hps.data.hop_length
+
+    net = build_synthesizer(hps, dtype=jnp.bfloat16)
+    mel = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, hps.data.n_mel_channels)) * 2.0 - 4.0
+    lens = jnp.full((BATCH,), FRAMES, jnp.int32)
+    spec = jnp.zeros((BATCH, FRAMES, hps.data.filter_length // 2 + 1))
+    log(f"devices: {jax.devices()}")
+    params = net.init(jax.random.key(1), mel, lens, spec, lens, jax.random.key(2))["params"]
+
+    @jax.jit
+    def synth(params, mel, lens, rng):
+        wav, _, _ = net.apply(
+            {"params": params}, mel, lens, rng,
+            noise_scale=0.667, method=SynthesizerTrn.infer,
+        )
+        # In-graph checksum: fetching this scalar afterwards proves the step
+        # ran to completion (execution is FIFO per device). Ad-hoc op-by-op
+        # reductions outside jit can hang/misreport over the tunneled backend.
+        return wav, jnp.sum(wav.astype(jnp.float32))
+
+    rng = jax.random.key(3)
+    t0 = time.time()
+    out, chk = synth(params, mel, lens, rng)
+    log(f"first compile+run: {time.time() - t0:.1f}s; out {out.shape} {out.dtype} "
+        f"checksum {float(chk):.3f}")
+
+    for i in range(WARMUP):
+        out, chk = synth(params, mel, lens, jax.random.fold_in(rng, i))
+    float(chk)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out, chk = synth(params, mel, lens, jax.random.fold_in(rng, 100 + i))
+    checksum = float(chk)  # host readback == all ITERS steps completed
+    dt = (time.perf_counter() - t0) / ITERS
+    log(f"checksum {checksum:.3f}")
+
+    audio_seconds = BATCH * FRAMES * hop / sr
+    rtf = audio_seconds / dt
+    log(f"{dt*1e3:.2f} ms/step for {audio_seconds:.1f}s audio "
+        f"({BATCH}x{FRAMES} frames); samples/sec/chip {BATCH*FRAMES*hop/dt:,.0f}")
+
+    print(json.dumps({
+        "metric": "rtf_22k05_synthesis",
+        "value": round(rtf, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / TARGET_RTF, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
