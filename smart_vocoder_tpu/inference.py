@@ -32,11 +32,20 @@ class Vocoder:
         params_g,
         dtype=jnp.bfloat16,
         buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096),
+        fold: bool = True,
     ):
         self.hps = hps
         self.mel_cfg = MelConfig.from_hparams(hps)
         self.buckets = sorted(buckets)
-        self.net = build_synthesizer(hps, dtype=dtype)
+        if fold:
+            # Bake g*v/||v|| into plain weights -- the TPU analogue of the
+            # reference's remove_weight_norm() before inference (models.py:162).
+            from smart_vocoder_tpu.nn import fold_weight_norm
+
+            params_g = fold_weight_norm(params_g)
+            self.net = build_synthesizer(hps, dtype=dtype, weight_norm=False)
+        else:
+            self.net = build_synthesizer(hps, dtype=dtype)
         self.params = params_g
         self._infer = jax.jit(
             partial(self._apply_infer, self.net),

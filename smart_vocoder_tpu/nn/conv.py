@@ -118,10 +118,22 @@ class NormConv1d(nn.Module, _WeightNormMixin):
 class NormConvTranspose1d(nn.Module, _WeightNormMixin):
     """Transposed 1-D conv matching ``torch.nn.ConvTranspose1d(k, s, padding=p)``.
 
-    Implemented as an input-dilated (``lhs_dilation``) conv with the kernel
-    flipped and padding ``k - 1 - p`` -- the standard forward-conv equivalence,
-    so output length is ``(T-1)*s + k - 2p`` (= ``T*s`` for the generator's
-    ``p=(k-u)//2`` choice, models.py:124-127).
+    Two exact implementations:
+
+    - ``polyphase=True`` (default, requires ``k - 2p == s`` as in the
+      generator's ``p=(k-u)//2`` choice, models.py:124-127): decompose the
+      transposed conv into its polyphase filters -- one ordinary stride-1 conv
+      at *input* resolution producing ``s * features`` channels, then a
+      depth-to-space reshape. This keeps the MXU contraction fat
+      (``in -> s*out`` instead of ``in -> out``) and multiplies no inserted
+      zeros; an ``lhs_dilation`` lowering wastes ``(s-1)/s`` of its MACs on
+      zeros unless the backend rediscovers the decomposition.
+    - ``polyphase=False``: the classic input-dilated conv with flipped kernel
+      and padding ``k - 1 - p``.
+
+    Output length is ``(T-1)*s + k - 2p`` (= ``T*s`` in the polyphase case).
+    Parameters are identical either way (torch layout ``(in, out, k)``), so
+    checkpoints are interchangeable between the two paths.
     """
 
     features: int
@@ -130,30 +142,61 @@ class NormConvTranspose1d(nn.Module, _WeightNormMixin):
     padding: int = 0
     use_bias: bool = True
     weight_norm: bool = True
+    polyphase: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        shape = (in_ch, self.features, self.kernel_size)  # torch (in, out, k)
-        fan_in = shape[1] * self.kernel_size  # torch fan-in convention for transposed convs
+        k, s, p = self.kernel_size, self.stride, self.padding
+        shape = (in_ch, self.features, k)  # torch (in, out, k)
+        fan_in = shape[1] * k  # torch fan-in convention for transposed convs
         w = self._weight(shape, fan_in, zero_init=False)
         b = self._bias(self.features, fan_in)
 
-        # Equivalent forward-conv kernel: flip taps, (k, in, out) HIO.
-        w = jnp.transpose(jnp.flip(w, axis=2), (2, 0, 1)).astype(self.dtype)
-        pad = self.kernel_size - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            w,
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        if self.polyphase and k - 2 * p == s:
+            y = self._polyphase(x, w)
+        else:
+            # Input-dilated equivalent conv: flip taps, (k, in, out) HIO.
+            wf = jnp.transpose(jnp.flip(w, axis=2), (2, 0, 1)).astype(self.dtype)
+            pad = k - 1 - p
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wf, (1,), [(pad, pad)],
+                lhs_dilation=(s,), dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if b is not None:
             y = y + b.astype(self.dtype)
         return y
+
+    def _polyphase(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """y[s*q + r, co] = sum_d x[q - d, ci] * w[ci, co, s*d + r + p]."""
+        import numpy as np
+
+        in_ch = x.shape[-1]
+        k, s, p = self.kernel_size, self.stride, self.padding
+        d_min = -((s - 1 + p) // s)
+        d_max = (k - 1 - p) // s
+        kp = d_max - d_min + 1
+
+        # Tap table: t[i, r] = s*(d_min + i) + r + p, masked to [0, k).
+        t_idx = s * (d_min + np.arange(kp))[:, None] + np.arange(s)[None, :] + p
+        valid = (t_idx >= 0) & (t_idx < k)
+        gathered = w[:, :, np.clip(t_idx, 0, k - 1)]          # (in, out, kp, s)
+        gathered = jnp.where(jnp.asarray(valid), gathered, 0.0)
+
+        # XLA correlation index runs opposite to d: flip taps.
+        # W_conv[i, ci, r*out + co] = gathered[ci, co, kp-1-i, r]
+        wc = jnp.transpose(gathered, (2, 0, 3, 1))[::-1]       # (kp, in, s, out)
+        wc = wc.reshape(kp, in_ch, s * self.features).astype(self.dtype)
+
+        pad_lo = kp - 1 + d_min
+        pad_hi = -d_min
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wc, (1,), [(pad_lo, pad_hi)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        bsz, t, _ = y.shape
+        return y.reshape(bsz, t * s, self.features)
 
 
 class NormConv2d(nn.Module, _WeightNormMixin):

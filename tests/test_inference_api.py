@@ -1,0 +1,103 @@
+"""Tests for weight-norm folding and the Vocoder inference API."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smart_vocoder_tpu.config import load_config
+from smart_vocoder_tpu.inference import Vocoder
+from smart_vocoder_tpu.models.synthesizer import SynthesizerTrn
+from smart_vocoder_tpu.nn import WN, fold_weight_norm
+
+
+class TestFoldWeightNorm:
+    def test_wn_stack_identical_after_fold(self):
+        mod = WN(16, 5, 1, 3, weight_norm=True)
+        x = jax.random.normal(jax.random.key(0), (2, 20, 16))
+        mask = jnp.ones((2, 20, 1))
+        params = mod.init(jax.random.key(1), x, mask)["params"]
+        want = mod.apply({"params": params}, x, mask)
+
+        folded = fold_weight_norm(params)
+        mod_f = WN(16, 5, 1, 3, weight_norm=False)
+        got = mod_f.apply({"params": folded}, x, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    def test_fold_is_idempotent_on_plain_weights(self):
+        params = {"conv": {"weight": jnp.ones((4, 2, 3)), "bias": jnp.zeros((4,))}}
+        out = fold_weight_norm(params)
+        np.testing.assert_array_equal(np.asarray(out["conv"]["weight"]), np.ones((4, 2, 3)))
+
+
+def tiny_vocoder(tmp_path):
+    cfg = {
+        "train": {
+            "log_interval": 1, "eval_interval": 10, "seed": 0, "epochs": 1,
+            "learning_rate": 2e-4, "betas": [0.8, 0.99], "eps": 1e-9,
+            "batch_size": 1, "fp16_run": False, "lr_decay": 0.999875,
+            "segment_size": 2048, "c_mel": 45, "c_kl": 1.0,
+        },
+        "data": {
+            "training_files": "", "validation_files": "", "max_wav_value": 32768.0,
+            "sampling_rate": 22050, "filter_length": 1024, "hop_length": 256,
+            "win_length": 1024, "n_mel_channels": 80, "mel_fmin": 0.0,
+            "mel_fmax": None, "n_speakers": 0,
+        },
+        "model": {
+            "inter_channels": 32, "hidden_channels": 32, "resblock": "2",
+            "resblock_kernel_sizes": [3], "resblock_dilation_sizes": [[1, 3]],
+            "upsample_rates": [8, 8, 2, 2], "upsample_initial_channel": 32,
+            "upsample_kernel_sizes": [16, 16, 4, 4], "use_spectral_norm": False,
+            "gin_channels": 0, "enc_layers": 2, "flow_wn_layers": 1,
+        },
+    }
+    path = os.path.join(str(tmp_path), "cfg.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    hps = load_config(path)
+
+    from smart_vocoder_tpu.models import build_synthesizer
+
+    net = build_synthesizer(hps)
+    t = 64
+    mel = jnp.zeros((1, t, 80))
+    spec = jnp.zeros((1, t, 513))
+    lens = jnp.full((1,), t, jnp.int32)
+    params = net.init(jax.random.key(0), mel, lens, spec, lens, jax.random.key(1))["params"]
+    return hps, params
+
+
+class TestVocoderAPI:
+    def test_mel_to_wav_lengths_and_buckets(self, tmp_path):
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64, 128))
+        rng = np.random.default_rng(0)
+        mel = rng.normal(-4, 2, size=(2, 50, 80)).astype(np.float32)
+        lengths = np.array([30, 50])
+        outs = voc.mel_to_wav(mel, lengths)
+        assert len(outs) == 2
+        assert outs[0].shape == (30 * 256,)
+        assert outs[1].shape == (50 * 256,)
+        assert all(np.isfinite(o).all() for o in outs)
+
+    def test_wav_to_wav_copy_synthesis(self, tmp_path):
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64,))
+        t = np.arange(256 * 40) / 22050
+        wav = np.sin(2 * np.pi * 440 * t).astype(np.float32) * 0.5
+        out = voc.wav_to_wav(wav)
+        assert out.shape == wav.shape
+        assert np.isfinite(out).all()
+
+    def test_fold_matches_unfolded(self, tmp_path):
+        hps, params = tiny_vocoder(tmp_path)
+        mel = np.zeros((1, 64, 80), np.float32) - 4.0
+        a = Vocoder(hps, params, dtype=jnp.float32, buckets=(64,), fold=True)
+        b = Vocoder(hps, params, dtype=jnp.float32, buckets=(64,), fold=False)
+        wa = a.mel_to_wav(mel, seed=7)[0]
+        wb = b.mel_to_wav(mel, seed=7)[0]
+        np.testing.assert_allclose(wa, wb, atol=2e-5)

@@ -93,8 +93,9 @@ class TestConvParity:
         got = cm(mod.apply({"params": params}, tm(x.numpy())))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("polyphase", [False, True])
     @pytest.mark.parametrize("k,u", [(16, 8), (4, 2)])
-    def test_conv_transpose1d(self, k, u):
+    def test_conv_transpose1d(self, k, u, polyphase):
         tconv = torch.nn.utils.weight_norm(
             torch.nn.ConvTranspose1d(12, 6, k, u, padding=(k - u) // 2)
         )
@@ -102,11 +103,26 @@ class TestConvParity:
         want = tconv(x).detach().numpy()
         assert want.shape[-1] == 10 * u
 
-        mod = NormConvTranspose1d(6, k, stride=u, padding=(k - u) // 2, weight_norm=True)
+        mod = NormConvTranspose1d(6, k, stride=u, padding=(k - u) // 2,
+                                  weight_norm=True, polyphase=polyphase)
         params = mod.init(jax.random.key(0), tm(x.numpy()))["params"]
         params = to_params(tconv, params)
         got = cm(mod.apply({"params": params}, tm(x.numpy())))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_polyphase_general_padding(self):
+        """Polyphase decomposition is exact for any (k, s, p) with k-2p==s."""
+        for (k, s) in [(12, 4), (9, 3), (20, 8)]:
+            p = (k - s) // 2
+            tconv = torch.nn.ConvTranspose1d(5, 3, k, s, padding=p)
+            x = torch.randn(1, 5, 7)
+            want = tconv(x).detach().numpy()
+            mod = NormConvTranspose1d(3, k, stride=s, padding=p,
+                                      weight_norm=False, polyphase=True)
+            params = mod.init(jax.random.key(0), tm(x.numpy()))["params"]
+            params = to_params(tconv, params)
+            got = cm(mod.apply({"params": params}, tm(x.numpy())))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 class TestModuleParity:
