@@ -1,0 +1,186 @@
+"""Fused multi-receptive-field (MRF) stage kernel.
+
+One HiFi-GAN MRF stage = mean over 3 parallel ResBlock1 branches; branch with
+kernel size k runs 3 residual pairs ``x += c2(lrelu(c1_dj(lrelu(x))))`` with
+dilations dj in (1, 3, 5) (reference modules.py:187-229, models.py:149-155).
+Under XLA each of the 18 convs round-trips activations through HBM; at the
+decoder's late stages (time up to 256k samples, channels 32..128) that is
+~20 full-tensor traversals per stage and the convs are MXU-lane-starved.
+
+This kernel processes the whole stage per time tile in VMEM:
+  - grid (batch, T/TILE); the input tile is DMA'd with a halo of R =
+    max_k (k-1)/2 * sum(dj + 1) columns (the stage's receptive radius), so
+    every intermediate conv has true neighbor data and the central TILE
+    columns of the final result are exact.
+  - each conv is a static tap loop of (L, Cin) @ (Cin, Cout) MXU dots
+    accumulated in float32; activations never leave VMEM.
+  - tile-edge reads beyond the halo see zeros, matching torch's zero padding
+    at true sequence boundaries (the wrapper pre-pads by R).
+
+Weights arrive as plain (k, Cin, Cout) arrays (fold weight norm first);
+`mrf_stage_reference` is the jnp mirror used for parity tests and as the
+non-TPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1
+
+# Branch structure of ResBlock1 as instantiated by the generator
+# (models.py:130-133): kernel sizes per branch, dilations per pair.
+DILATIONS = (1, 3, 5)
+
+BranchWeights = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+# (w1 (3, k, C, C), b1 (3, C), w2 (3, k, C, C), b2 (3, C))
+
+
+def stage_radius(kernel_sizes: Sequence[int], dilations: Sequence[int] = DILATIONS) -> int:
+    """Receptive radius of one branch chain, maxed over branches."""
+    return max(
+        (k - 1) // 2 * sum(d + 1 for d in dilations) for k in kernel_sizes
+    )
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+
+
+def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """Same-length dilated conv on (L, C) via static tap loop of MXU dots."""
+    k = w.shape[0]
+    r = (k - 1) // 2 * dilation
+    length = x.shape[0]
+    xp = jnp.pad(x, ((r, r), (0, 0)))
+    acc = jnp.zeros((length, w.shape[2]), jnp.float32)
+    for t in range(k):
+        acc = acc + jnp.dot(
+            xp[t * dilation : t * dilation + length, :], w[t],
+            preferred_element_type=jnp.float32,
+        )
+    return (acc + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _branch_chain(x: jnp.ndarray, w1, b1, w2, b2, dilations, valid) -> jnp.ndarray:
+    """One ResBlock1 branch: 3 residual (c1_dj, c2) pairs (modules.py:210-222).
+
+    ``valid`` masks rows outside the real sequence: torch zero-pads every
+    *intermediate* at the true boundary, so each conv output must be zeroed
+    there before feeding the next conv / residual.
+    """
+    for j, d in enumerate(dilations):
+        xt = _conv_taps(_leaky(x), w1[j], b1[j], d) * valid
+        xt = _conv_taps(_leaky(xt), w2[j], b2[j], 1) * valid
+        x = xt + x
+    return x
+
+
+def _mrf_kernel(
+    kernel_sizes, dilations, tile, radius, t_real,
+    x_hbm, *refs,
+):
+    # refs: 4 weight refs per branch, then out_ref, then scratch x_vmem + sem.
+    n_br = len(kernel_sizes)
+    w_refs = refs[: 4 * n_br]
+    out_ref = refs[4 * n_br]
+    x_vmem = refs[4 * n_br + 1]
+    sem = refs[4 * n_br + 2]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * radius), :], x_vmem, sem
+    )
+    cp.start()
+    cp.wait()
+
+    x = x_vmem[...]
+    # Global row of local row l is i*tile + l in the padded array; real data
+    # occupies padded rows [radius, radius + t_real).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0) + i * tile
+    valid = ((rows >= radius) & (rows < radius + t_real)).astype(x.dtype)
+
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for br in range(n_br):
+        w1, b1, w2, b2 = (w_refs[4 * br + j][...] for j in range(4))
+        acc = acc + _branch_chain(x, w1, b1, w2, b2, dilations, valid).astype(jnp.float32)
+    result = (acc / n_br).astype(x.dtype)
+    out_ref[0] = result[radius : radius + tile]
+
+
+def fused_mrf_stage(
+    x: jnp.ndarray,
+    branches: List[BranchWeights],
+    kernel_sizes: Sequence[int],
+    dilations: Sequence[int] = DILATIONS,
+    tile: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Apply one fused MRF stage to ``x (B, T, C)``."""
+    bsz, t, c = x.shape
+    radius = stage_radius(kernel_sizes, dilations)
+    # Pad so the radius halo exists on both ends and T divides the tile.
+    t_pad = -t % tile
+    xp = jnp.pad(x, ((0, 0), (radius, radius + t_pad), (0, 0)))
+    n_tiles = (t + t_pad) // tile
+
+    weight_args = []
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # x stays in HBM, DMA'd manually
+    for w1, b1, w2, b2 in branches:
+        for arr in (w1, b1, w2, b2):
+            weight_args.append(arr.astype(x.dtype))
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _mrf_kernel, tuple(kernel_sizes), tuple(dilations), tile, radius, t
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        out_shape=jax.ShapeDtypeStruct((bsz, t + t_pad, c), x.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, c), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * radius, c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, *weight_args)
+    return out[:, :t]
+
+
+def mrf_stage_reference(
+    x: jnp.ndarray,
+    branches: List[BranchWeights],
+    kernel_sizes: Sequence[int],
+    dilations: Sequence[int] = DILATIONS,
+) -> jnp.ndarray:
+    """Pure-jnp mirror of the fused stage (parity oracle + non-TPU fallback)."""
+
+    def conv(x, w, b, dil):
+        k = w.shape[0]
+        pad = (k * dil - dil) // 2
+        y = jax.lax.conv_general_dilated(
+            x, w, (1,), [(pad, pad)], rhs_dilation=(dil,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        return y + b
+
+    acc = None
+    for (w1, b1, w2, b2), k in zip(branches, kernel_sizes):
+        xb = x
+        for j, d in enumerate(dilations):
+            xt = conv(jax.nn.leaky_relu(xb, LRELU_SLOPE), w1[j], b1[j], d)
+            xt = conv(jax.nn.leaky_relu(xt, LRELU_SLOPE), w2[j], b2[j], 1)
+            xb = xt + xb
+        acc = xb if acc is None else acc + xb
+    return acc / len(branches)

@@ -97,6 +97,33 @@ def plot_spectrogram_to_numpy(spectrogram: np.ndarray) -> np.ndarray:
     return data.copy()
 
 
+def plot_alignment_to_numpy(alignment: np.ndarray, info: Optional[str] = None) -> np.ndarray:
+    """Render an alignment matrix to an RGB image (ref: utils.py:104-130;
+    unused by the vocoder graph but part of the observability surface)."""
+    global _MATPLOTLIB_READY
+    import matplotlib
+
+    if not _MATPLOTLIB_READY:
+        matplotlib.use("Agg")
+        logging.getLogger("matplotlib").setLevel(logging.WARNING)
+        _MATPLOTLIB_READY = True
+    import matplotlib.pylab as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    im = ax.imshow(np.asarray(alignment).T, aspect="auto", origin="lower",
+                   interpolation="none")
+    fig.colorbar(im, ax=ax)
+    xlabel = "Decoder timestep" + (f"\n\n{info}" if info else "")
+    plt.xlabel(xlabel)
+    plt.ylabel("Encoder timestep")
+    plt.tight_layout()
+    fig.canvas.draw()
+    data = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    data = data.reshape(fig.canvas.get_width_height()[::-1] + (4,))[..., :3]
+    plt.close(fig)
+    return data.copy()
+
+
 def check_git_hash(model_dir: str, logger: Optional[logging.Logger] = None) -> None:
     """Warn when resuming a run dir created at a different git HEAD
     (ref: utils.py:194-211)."""

@@ -118,3 +118,30 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def save_torch_checkpoint(
+    path: str,
+    params: Dict[str, Any],
+    iteration: int = 0,
+    learning_rate: float = 0.0,
+) -> None:
+    """Export a param pytree as a reference-format ``.pth`` payload so models
+    trained here can be consumed by reference tooling (utils.py:46-56 shape:
+    {model, iteration, optimizer, learning_rate}; optimizer state is not
+    portable across frameworks and is saved as an empty dict)."""
+    import torch
+
+    state_dict = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in torch_state_dict_from_params(params).items()
+    }
+    torch.save(
+        {
+            "model": state_dict,
+            "iteration": iteration,
+            "optimizer": {},
+            "learning_rate": learning_rate,
+        },
+        path,
+    )
