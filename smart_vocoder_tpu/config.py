@@ -85,6 +85,12 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "use_pallas": False,
     # Checkpoints to retain.
     "keep_ckpts": 5,
+    # Trace `profile_steps` training steps starting at `profile_start_step`
+    # with jax.profiler into <model_dir>/profile (0 = off).
+    "profile_steps": 0,
+    "profile_start_step": 10,
+    # Fail fast on NaN/Inf anywhere in the jitted step (jax_debug_nans).
+    "debug_nans": False,
 }
 
 _REQUIRED_TRAIN = ["learning_rate", "betas", "eps", "batch_size", "segment_size", "c_mel", "c_kl", "lr_decay", "seed"]

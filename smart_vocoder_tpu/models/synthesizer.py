@@ -167,6 +167,9 @@ class Generator(nn.Module):
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
     gin_channels: int = 0
+    # Space-to-depth packing for lane-starved (<128ch) late stages -- exact
+    # math (see nn/conv.py pack_conv_weight); ~3-6x fewer MXU passes there.
+    channel_pack: bool = True
     dtype: jnp.dtype = jnp.float32
     weight_norm: bool = True
 
@@ -188,12 +191,13 @@ class Generator(nn.Module):
                 ch, k, stride=u, padding=(k - u) // 2,
                 weight_norm=self.weight_norm, dtype=self.dtype, name=f"ups_{i}",
             )(x)
+            pack = max(1, min(8, 128 // ch)) if self.channel_pack else 1
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
                 block = res_cls(
-                    ch, rk, tuple(rd), dtype=self.dtype,
+                    ch, rk, tuple(rd), pack=pack, dtype=self.dtype,
                     weight_norm=self.weight_norm,
                     name=f"resblocks_{i * num_kernels + j}",
                 )(x)

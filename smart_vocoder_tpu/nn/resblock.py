@@ -22,6 +22,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3, 5)
+    pack: int = 1  # space-to-depth factor for MXU lane occupancy (exact)
     dtype: jnp.dtype = jnp.float32
     weight_norm: bool = True
 
@@ -33,16 +34,16 @@ class ResBlock1(nn.Module):
                 xt = xt * x_mask
             xt = NormConv1d(
                 self.channels, self.kernel_size, padding=_get_padding(self.kernel_size, d),
-                dilation=d, weight_norm=self.weight_norm, dtype=self.dtype,
-                name=f"convs1_{j}",
+                dilation=d, weight_norm=self.weight_norm, pack=self.pack,
+                dtype=self.dtype, name=f"convs1_{j}",
             )(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = NormConv1d(
                 self.channels, self.kernel_size, padding=_get_padding(self.kernel_size, 1),
-                dilation=1, weight_norm=self.weight_norm, dtype=self.dtype,
-                name=f"convs2_{j}",
+                dilation=1, weight_norm=self.weight_norm, pack=self.pack,
+                dtype=self.dtype, name=f"convs2_{j}",
             )(xt)
             x = xt + x
         if x_mask is not None:
@@ -56,6 +57,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3)
+    pack: int = 1
     dtype: jnp.dtype = jnp.float32
     weight_norm: bool = True
 
@@ -67,8 +69,8 @@ class ResBlock2(nn.Module):
                 xt = xt * x_mask
             xt = NormConv1d(
                 self.channels, self.kernel_size, padding=_get_padding(self.kernel_size, d),
-                dilation=d, weight_norm=self.weight_norm, dtype=self.dtype,
-                name=f"convs_{j}",
+                dilation=d, weight_norm=self.weight_norm, pack=self.pack,
+                dtype=self.dtype, name=f"convs_{j}",
             )(xt)
             x = xt + x
         if x_mask is not None:

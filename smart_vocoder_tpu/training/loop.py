@@ -33,6 +33,7 @@ from smart_vocoder_tpu.training.optim import lr_for_epoch, make_optimizer, set_l
 from smart_vocoder_tpu.training.step import Batch, init_train_state, make_train_step
 from smart_vocoder_tpu.utils import checkpoint as ckpt_lib
 from smart_vocoder_tpu.utils import logging_utils
+from smart_vocoder_tpu.utils.profiling import StepProfiler, StepTimer
 
 
 def _synthetic_init_batch(hps, batch_size: int) -> Batch:
@@ -54,6 +55,9 @@ def _synthetic_init_batch(hps, batch_size: int) -> Batch:
 
 def run(hps, max_steps: Optional[int] = None) -> None:
     """Train per the config; the equivalent of train.py's run() (train.py:52-120)."""
+    if hps.tpu.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+
     is_chief = jax.process_index() == 0
     logger = logging_utils.get_logger(hps.model_dir) if is_chief else None
     if is_chief:
@@ -112,6 +116,13 @@ def run(hps, max_steps: Optional[int] = None) -> None:
 
     base_key = jax.random.key(hps.train.seed + 1)
     global_step = int(state.step)
+    timer = StepTimer()
+    profiler = StepProfiler(
+        f"{hps.model_dir}/profile",
+        global_step + int(hps.tpu.get("profile_start_step", 10)),
+        int(hps.tpu.get("profile_steps", 0)),
+    )
+    samples_per_step = hps.train.batch_size * mesh.shape["data"] * hps.train.segment_size
     for epoch in range(epoch_start, hps.train.epochs + 1):
         train_sampler.set_epoch(epoch)
         lr = lr_for_epoch(hps, epoch)
@@ -122,9 +133,12 @@ def run(hps, max_steps: Optional[int] = None) -> None:
 
         t_epoch = time.time()
         for batch_idx, batch in enumerate(train_loader):
+            profiler.maybe_start(global_step)
             step_key = jax.random.fold_in(base_key, global_step)
             batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch, step_key)
+            timer.tick()
+            profiler.maybe_stop(global_step)
 
             if is_chief and global_step % hps.train.log_interval == 0:
                 metrics = jax.device_get(metrics)
@@ -135,6 +149,7 @@ def run(hps, max_steps: Optional[int] = None) -> None:
                 logger.info([float(x) for x in losses] + [global_step, lr])
                 scalars = {k: float(v) for k, v in metrics.items()}
                 scalars["learning_rate"] = lr
+                scalars.update(timer.metrics(samples_per_step))
                 logging_utils.summarize(writer, global_step, scalars=scalars)
 
             if is_chief and global_step % hps.train.eval_interval == 0:
@@ -144,6 +159,7 @@ def run(hps, max_steps: Optional[int] = None) -> None:
 
             global_step += 1
             if max_steps is not None and global_step >= max_steps:
+                profiler.close()
                 if is_chief:
                     mngr.save(global_step, jax.device_get(state), epoch)
                     mngr.wait()

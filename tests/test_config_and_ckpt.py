@@ -1,0 +1,156 @@
+"""Tests for the config system (L0) and checkpointing (L8)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smart_vocoder_tpu.config import HParams, get_hparams, load_config, validate
+
+
+def write_cfg(tmp_path, **overrides):
+    cfg = {
+        "train": {
+            "log_interval": 1, "eval_interval": 10, "seed": 0, "epochs": 1,
+            "learning_rate": 2e-4, "betas": [0.8, 0.99], "eps": 1e-9,
+            "batch_size": 2, "fp16_run": True, "lr_decay": 0.999875,
+            "segment_size": 8192, "c_mel": 45, "c_kl": 1.0,
+        },
+        "data": {
+            "training_files": "a.txt", "validation_files": "b.txt",
+            "max_wav_value": 32768.0, "sampling_rate": 22050,
+            "filter_length": 1024, "hop_length": 256, "win_length": 1024,
+            "n_mel_channels": 80, "mel_fmin": 0.0, "mel_fmax": None,
+        },
+        "model": {"inter_channels": 192, "hidden_channels": 192,
+                  "resblock": "1", "resblock_kernel_sizes": [3, 7, 11],
+                  "resblock_dilation_sizes": [[1, 3, 5]] * 3,
+                  "upsample_rates": [8, 8, 2, 2], "upsample_initial_channel": 512,
+                  "upsample_kernel_sizes": [16, 16, 4, 4], "gin_channels": 256},
+    }
+    cfg.update(overrides)
+    path = os.path.join(str(tmp_path), "c.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+class TestConfig:
+    def test_reference_schema_loads(self):
+        """The shipped configs (reference JSON schema) validate unchanged."""
+        for name in ("configs/iitp_base.json", "configs/iitp_base_ms.json"):
+            hps = load_config(name)
+            assert hps.train.batch_size == 16
+            assert hps.data.filter_length == 1024
+            assert hps.model.upsample_rates == [8, 8, 2, 2]
+            assert hps.tpu.bucket_boundaries[0] == 32
+
+    def test_tpu_defaults_filled(self, tmp_path):
+        hps = load_config(write_cfg(tmp_path))
+        assert hps.tpu.bf16_run is True  # inherits fp16_run
+        assert hps.tpu.model_parallel == 1
+        assert hps.data.n_speakers == 0
+
+    def test_missing_key_raises(self, tmp_path):
+        path = write_cfg(tmp_path)
+        cfg = json.load(open(path))
+        del cfg["train"]["segment_size"]
+        with open(path, "w") as f:
+            json.dump(cfg, f)
+        with pytest.raises(ValueError, match="segment_size"):
+            load_config(path)
+
+    def test_segment_not_multiple_of_hop_raises(self, tmp_path):
+        path = write_cfg(tmp_path)
+        cfg = json.load(open(path))
+        cfg["train"]["segment_size"] = 8191
+        with open(path, "w") as f:
+            json.dump(cfg, f)
+        with pytest.raises(ValueError, match="multiple"):
+            load_config(path)
+
+    def test_hparams_dict_protocol(self):
+        hp = HParams(a=1, b={"c": 2})
+        assert hp["a"] == 1 and hp.b.c == 2
+        assert "a" in hp and len(hp) == 2
+        assert set(hp.keys()) == {"a", "b"}
+        hp["d"] = 3
+        assert hp.d == 3
+        assert hp.to_dict() == {"a": 1, "b": {"c": 2}, "d": 3}
+
+    def test_get_hparams_cli(self, tmp_path, monkeypatch):
+        """-c/-m surface: creates logs/<model>/ and snapshots the config
+        (ref: utils.py:144-171)."""
+        cfg_path = write_cfg(tmp_path)
+        monkeypatch.chdir(str(tmp_path))
+        hps = get_hparams(["-c", cfg_path, "-m", "testrun"])
+        assert hps.model_dir == os.path.join("./logs", "testrun")
+        assert os.path.exists(os.path.join(hps.model_dir, "config.json"))
+        snap = json.load(open(os.path.join(hps.model_dir, "config.json")))
+        assert snap["train"]["batch_size"] == 2
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip_and_latest(self, tmp_path):
+        from smart_vocoder_tpu.utils.checkpoint import CheckpointManager, try_resume
+
+        state = {
+            "w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "nested": {"b": jnp.ones((4,), jnp.bfloat16)},
+            "step": jnp.asarray(7, jnp.int32),
+        }
+        mngr = CheckpointManager(str(tmp_path), keep=2)
+        mngr.save(100, state, epoch=3)
+        mngr.save(200, jax.tree.map(lambda x: x * 2, state), epoch=5)
+        mngr.wait()
+        assert mngr.latest_step() == 200
+
+        restored, epoch, step = mngr.restore(state)
+        assert epoch == 5 and step == 200
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(6).reshape(2, 3) * 2)
+        assert restored["nested"]["b"].dtype == jnp.bfloat16
+
+    def test_try_resume_fresh(self, tmp_path):
+        from smart_vocoder_tpu.utils.checkpoint import CheckpointManager, try_resume
+
+        mngr = CheckpointManager(str(tmp_path))
+        state = {"w": jnp.zeros((2,))}
+        out, epoch, resumed = try_resume(mngr, state)
+        assert not resumed and epoch == 1
+        assert out is state
+
+    def test_keep_limit(self, tmp_path):
+        from smart_vocoder_tpu.utils.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(str(tmp_path), keep=2)
+        state = {"w": jnp.zeros((2,))}
+        for s in (1, 2, 3, 4):
+            mngr.save(s, state, epoch=s)
+        mngr.wait()
+        kept = sorted(int(d) for d in os.listdir(mngr.directory) if d.isdigit())
+        assert kept == [3, 4]
+
+
+class TestTorchExportImport:
+    def test_pth_roundtrip(self, tmp_path):
+        from smart_vocoder_tpu.utils.checkpoint import load_reference_generator
+        from smart_vocoder_tpu.utils.torch_compat import save_torch_checkpoint
+
+        params = {
+            "dec": {"conv_pre": {"weight": jnp.ones((8, 4, 7)), "bias": jnp.zeros((8,))}},
+            "enc_q": {"enc": {"in_layers_0": {
+                "weight_v": jnp.full((16, 8, 5), 0.5), "weight_g": jnp.ones((16, 1, 1))}}},
+        }
+        path = os.path.join(str(tmp_path), "G_123.pth")
+        save_torch_checkpoint(path, params, iteration=123, learning_rate=1e-4)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        restored, it = load_reference_generator(path, zeros)
+        assert it == 123
+        np.testing.assert_array_equal(
+            np.asarray(restored["enc_q"]["enc"]["in_layers_0"]["weight_v"]),
+            np.full((16, 8, 5), 0.5),
+        )

@@ -1,0 +1,69 @@
+"""Space-to-depth packed convolution: exactness vs the direct lowering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smart_vocoder_tpu.nn.conv import NormConv1d, pack_conv_weight
+
+
+def direct_conv(x, w_hio, dilation):
+    k = w_hio.shape[0]
+    pad = (k * dilation - dilation) // 2
+    return jax.lax.conv_general_dilated(
+        x, w_hio, (1,), [(pad, pad)], rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+
+
+class TestPackConvWeight:
+    @pytest.mark.parametrize("k,d,p", [
+        (3, 1, 4), (7, 1, 4), (11, 1, 4),
+        (3, 3, 4), (11, 5, 4),
+        (7, 3, 2), (11, 5, 2), (5, 1, 8),
+    ])
+    def test_exact_vs_direct(self, k, d, p):
+        cin = cout = 16
+        key = jax.random.key(k * 100 + d * 10 + p)
+        x = jax.random.normal(key, (2, 64 * p, cin))
+        w = jax.random.normal(jax.random.fold_in(key, 1), (k, cin, cout)) * 0.1
+
+        want = direct_conv(x, w, d)
+
+        wp, pad_lo, pad_hi = pack_conv_weight(w, d, p)
+        xp = x.reshape(2, -1, p * cin)
+        got = jax.lax.conv_general_dilated(
+            xp, wp, (1,), [(pad_lo, pad_hi)], dimension_numbers=("NHC", "HIO", "NHC"),
+        ).reshape(x.shape[0], x.shape[1], cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def test_rectangular_channels(self):
+        x = jax.random.normal(jax.random.key(0), (1, 32, 8))
+        w = jax.random.normal(jax.random.key(1), (5, 8, 24)) * 0.1
+        want = direct_conv(x, w, 1)
+        wp, lo, hi = pack_conv_weight(w, 1, 4)
+        got = jax.lax.conv_general_dilated(
+            x.reshape(1, 8, 32), wp, (1,), [(lo, hi)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ).reshape(1, 32, 24)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+class TestNormConv1dPacked:
+    def test_module_packed_equals_unpacked(self):
+        x = jax.random.normal(jax.random.key(2), (2, 128, 32))
+        kwargs = dict(features=32, kernel_size=11, padding=25, dilation=5, weight_norm=True)
+        a = NormConv1d(**kwargs, pack=1)
+        b = NormConv1d(**kwargs, pack=4)
+        params = a.init(jax.random.key(3), x)["params"]
+        ya = a.apply({"params": params}, x)
+        yb = b.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), rtol=1e-5, atol=1e-5)
+
+    def test_falls_back_when_t_not_divisible(self):
+        x = jax.random.normal(jax.random.key(4), (1, 130, 32))  # 130 % 4 != 0
+        mod = NormConv1d(features=32, kernel_size=3, padding=1, pack=4)
+        params = mod.init(jax.random.key(5), x)["params"]
+        y = mod.apply({"params": params}, x)
+        assert y.shape == (1, 130, 32)
