@@ -69,15 +69,21 @@ def stft_magnitude_np(y: np.ndarray, n_fft: int, hop: int, win: int) -> np.ndarr
 
 
 class AudioSpecDataset:
-    """(spec, wav, sid) tuples from a filelist (ref: data_utils.py:14-80)."""
+    """(spec, wav, sid) tuples from a filelist (ref: data_utils.py:14-80).
 
-    def __init__(self, filelist: str, hps_data):
+    ``cache_specs=True`` memoizes computed spectrograms as ``<wav>.spec.npy``
+    next to the audio (the reference has this path commented out,
+    data_utils.py:61-68); loads skip the STFT when a fresh cache exists.
+    """
+
+    def __init__(self, filelist: str, hps_data, cache_specs: bool = False):
         self.entries = load_filepaths(filelist)
         self.max_wav_value = hps_data.max_wav_value
         self.sampling_rate = hps_data.sampling_rate
         self.filter_length = hps_data.filter_length
         self.hop_length = hps_data.hop_length
         self.win_length = hps_data.win_length
+        self.cache_specs = cache_specs
 
         # Reference shuffles once with a fixed seed before filtering
         # (data_utils.py:30-31).
@@ -106,7 +112,19 @@ class AudioSpecDataset:
         # (keeps the static-shape invariant wav_len == spec_len * hop).
         usable = (len(audio_norm) // self.hop_length) * self.hop_length
         audio_norm = audio_norm[:usable]
-        spec = stft_magnitude_np(
-            audio_norm, self.filter_length, self.hop_length, self.win_length
-        )
+
+        spec = None
+        cache_path = path + ".spec.npy"
+        if self.cache_specs and os.path.exists(cache_path) and (
+            os.path.getmtime(cache_path) >= os.path.getmtime(path)
+        ):
+            spec = np.load(cache_path)
+            if spec.shape[0] != usable // self.hop_length:
+                spec = None  # stale / different DSP params
+        if spec is None:
+            spec = stft_magnitude_np(
+                audio_norm, self.filter_length, self.hop_length, self.win_length
+            )
+            if self.cache_specs:
+                np.save(cache_path, spec)
         return spec, audio_norm[:, None], sid

@@ -125,6 +125,58 @@ class Vocoder:
         hop = self.hps.data.hop_length
         return [o[i, : int(lengths[i]) * hop, 0] for i in range(b)]
 
+    def mel_to_wav_chunked(
+        self,
+        mel: np.ndarray,
+        chunk: int = 1024,
+        overlap: int = 128,
+        noise_scale: float = 0.667,
+        sid: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Unbounded-length synthesis via fixed-size chunking with
+        receptive-field overlap (SURVEY.md section 5, long-context row).
+
+        The model is fully convolutional: every output sample depends only on
+        a local mel window (prior WN radius 32 + flow 4x WN8 radius 64 ~= 96
+        frames), so decoding overlapping chunks and keeping each chunk's
+        interior is seam-free once ``overlap`` exceeds the receptive radius.
+        One compiled program (`chunk` frames) serves any input length.
+
+        mel: (T, n_mels) or (1, T, n_mels) -> (T * hop,) float32 waveform.
+        """
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim == 3:
+            mel = mel[0]
+        t = mel.shape[0]
+        hop = self.hps.data.hop_length
+        if t <= chunk:
+            return self.mel_to_wav(mel[None], np.array([t]), noise_scale=noise_scale,
+                                   sid=sid, seed=seed)[0]
+        assert overlap < chunk // 2, (overlap, chunk)
+
+        step = chunk - 2 * overlap
+        out = np.zeros(t * hop, np.float32)
+        start = 0
+        idx = 0
+        while start < t:
+            lo = max(0, start - overlap)
+            hi = min(t, start + step + overlap)
+            piece = mel[lo:hi]
+            pad = chunk - piece.shape[0]
+            if pad > 0:
+                piece = np.pad(piece, ((0, pad), (0, 0)))
+            wav = self.mel_to_wav(
+                piece[None], np.array([hi - lo]), noise_scale=noise_scale,
+                sid=sid, seed=seed + idx,
+            )[0]
+            keep_lo = start - lo            # frames trimmed at the front
+            keep_hi = min(hi, start + step)  # absolute end frame of kept region
+            out[start * hop : keep_hi * hop] = wav[keep_lo * hop : (keep_lo + keep_hi - start) * hop]
+            start += step
+            idx += 1
+        return out
+
     def wav_to_wav(self, wav: np.ndarray, **kw) -> np.ndarray:
         """Copy-synthesis: waveform -> mel -> waveform (notebook cell 4)."""
         wav = np.asarray(wav, np.float32).reshape(1, -1)

@@ -75,6 +75,15 @@ class TestDataset:
         entries = load_filepaths(filelist)
         assert len(entries) == 3
 
+    def test_spec_cache_roundtrip(self, tmp_path):
+        filelist = write_wavs(str(tmp_path), [40])
+        ds = AudioSpecDataset(filelist, data_hps(), cache_specs=True)
+        spec1, _, _ = ds[0]
+        cache = ds.entries[0][0] + ".spec.npy"
+        assert os.path.exists(cache)
+        spec2, _, _ = ds[0]  # served from cache
+        np.testing.assert_array_equal(spec1, spec2)
+
     def test_sr_mismatch_raises(self, tmp_path):
         p = os.path.join(str(tmp_path), "bad.wav")
         wavfile.write(p, 16000, np.zeros(16000, np.int16))

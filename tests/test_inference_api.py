@@ -93,6 +93,32 @@ class TestVocoderAPI:
         assert out.shape == wav.shape
         assert np.isfinite(out).all()
 
+    def test_chunked_matches_full(self, tmp_path):
+        """Chunked long-form decode == one-shot decode away from chunk seams
+        (noise_scale=0 makes the path deterministic)."""
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64, 128, 256, 512))
+        rng = np.random.default_rng(1)
+        t = 400
+        mel = rng.normal(-4, 2, size=(t, 80)).astype(np.float32)
+
+        full = voc.mel_to_wav(mel[None], np.array([t]), noise_scale=0.0)[0]
+        chunked = voc.mel_to_wav_chunked(mel, chunk=128, overlap=32, noise_scale=0.0)
+        assert chunked.shape == full.shape
+        # compare away from the absolute start/end (identical there too, but
+        # bucket padding differences make edge frames the only risk)
+        hop = 256
+        np.testing.assert_allclose(
+            chunked[2 * hop : -2 * hop], full[2 * hop : -2 * hop], atol=2e-4,
+        )
+
+    def test_chunked_short_input_passthrough(self, tmp_path):
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64,))
+        mel = np.zeros((40, 80), np.float32) - 4
+        out = voc.mel_to_wav_chunked(mel, chunk=128, overlap=16, noise_scale=0.0)
+        assert out.shape == (40 * 256,)
+
     def test_fold_matches_unfolded(self, tmp_path):
         hps, params = tiny_vocoder(tmp_path)
         mel = np.zeros((1, 64, 80), np.float32) - 4.0
