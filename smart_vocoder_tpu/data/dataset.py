@@ -101,13 +101,19 @@ class AudioSpecDataset:
         return len(self.entries)
 
     def __getitem__(self, index: int):
+        from smart_vocoder_tpu.data import native_wavio
+
         path, sid = self.entries[index]
-        audio, sr = load_wav(path)
+        native = native_wavio.read_wav_norm_f32(path, self.max_wav_value)
+        if native is not None:
+            audio_norm, sr = native  # C++ fast path (mono PCM16, GIL released)
+        else:
+            audio, sr = load_wav(path)
+            audio_norm = audio / self.max_wav_value
         if sr != self.sampling_rate:
             raise ValueError(
                 f"{sr} SR doesn't match target {self.sampling_rate} SR ({path})"
             )
-        audio_norm = audio / self.max_wav_value
         # Trim to a hop multiple so spec frames * hop == wav samples exactly
         # (keeps the static-shape invariant wav_len == spec_len * hop).
         usable = (len(audio_norm) // self.hop_length) * self.hop_length

@@ -30,6 +30,7 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     width_mult: float = 1.0
+    use_spectral_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -42,17 +43,20 @@ class DiscriminatorP(nn.Module):
             t = t + n_pad
         x = x.reshape(b, t // self.period, self.period, c)  # NHWC
 
+        sn = self.use_spectral_norm
         pad = _get_padding(self.kernel_size, 1)
         for i, ch in enumerate([32, 128, 512, 1024, 1024]):
             ch = max(4, int(ch * self.width_mult))
             stride = self.stride if i < 4 else 1
             x = NormConv2d(
                 ch, (self.kernel_size, 1), (stride, 1), (pad, 0),
+                weight_norm=not sn, spectral_norm=sn,
                 dtype=self.dtype, name=f"convs_{i}",
             )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = NormConv2d(1, (3, 1), (1, 1), (1, 0), dtype=self.dtype, name="conv_post")(x)
+        x = NormConv2d(1, (3, 1), (1, 1), (1, 0), weight_norm=not sn,
+                       spectral_norm=sn, dtype=self.dtype, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -63,12 +67,14 @@ class DiscriminatorS(nn.Module):
     reduced to gcd(groups, in, out) which leaves reference widths unchanged."""
 
     width_mult: float = 1.0
+    use_spectral_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         import math
 
+        sn = self.use_spectral_norm
         fmap = []
         b = x.shape[0]
         specs = [  # (features, kernel, stride, groups, padding) per models.py:211-218
@@ -82,38 +88,37 @@ class DiscriminatorS(nn.Module):
         for i, (ch, k, s, g, p) in enumerate(specs):
             ch = max(8, int(ch * self.width_mult))
             g = math.gcd(math.gcd(g, x.shape[-1]), ch)
-            x = NormConv1d(ch, k, stride=s, padding=p, groups=g, weight_norm=True,
+            x = NormConv1d(ch, k, stride=s, padding=p, groups=g,
+                           weight_norm=not sn, spectral_norm=sn,
                            dtype=self.dtype, name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = NormConv1d(1, 3, stride=1, padding=1, weight_norm=True,
-                       dtype=self.dtype, name="conv_post")(x)
+        x = NormConv1d(1, 3, stride=1, padding=1, weight_norm=not sn,
+                       spectral_norm=sn, dtype=self.dtype, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
 
 class MultiPeriodDiscriminator(nn.Module):
     """1x DiscriminatorS + 5x DiscriminatorP (periods 2,3,5,7,11)
-    (ref: models.py:235-257). The reference's ``use_spectral_norm`` config key
-    is False in both shipped configs; spectral norm is not implemented and a
-    True value raises."""
+    (ref: models.py:235-257). ``use_spectral_norm`` swaps weight norm for
+    spectral norm on every conv like the reference's norm_f selection
+    (models.py:175, :210); power-iteration state lives in the mutable
+    'spectral' collection (see nn/conv.py)."""
 
     use_spectral_norm: bool = False
     width_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        if self.use_spectral_norm:
-            raise NotImplementedError(
-                "spectral norm discriminators are not implemented (both reference "
-                "configs set use_spectral_norm=false, configs/iitp_base.json)"
-            )
         periods = [2, 3, 5, 7, 11]
-        discs = [DiscriminatorS(width_mult=self.width_mult, dtype=self.dtype,
-                                name="discriminators_0")]
+        discs = [DiscriminatorS(width_mult=self.width_mult,
+                                use_spectral_norm=self.use_spectral_norm,
+                                dtype=self.dtype, name="discriminators_0")]
         discs += [
-            DiscriminatorP(p, width_mult=self.width_mult, dtype=self.dtype,
-                           name=f"discriminators_{i + 1}")
+            DiscriminatorP(p, width_mult=self.width_mult,
+                           use_spectral_norm=self.use_spectral_norm,
+                           dtype=self.dtype, name=f"discriminators_{i + 1}")
             for i, p in enumerate(periods)
         ]
         self.discs = discs

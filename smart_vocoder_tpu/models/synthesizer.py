@@ -168,8 +168,10 @@ class Generator(nn.Module):
     upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
     gin_channels: int = 0
     # Space-to-depth packing for lane-starved (<128ch) late stages -- exact
-    # math (see nn/conv.py pack_conv_weight); ~3-6x fewer MXU passes there.
-    channel_pack: bool = True
+    # math (see nn/conv.py pack_conv_weight). Default OFF: measured on v5e,
+    # XLA's im2col lowering already recovers enough K-utilization that the
+    # packing's FLOP inflation loses (scripts/profile_decoder.py).
+    channel_pack: bool = False
     dtype: jnp.dtype = jnp.float32
     weight_norm: bool = True
 

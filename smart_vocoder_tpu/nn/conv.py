@@ -58,6 +58,8 @@ class _WeightNormMixin:
             w_init = nn.initializers.zeros
         else:
             w_init = _torch_conv_init(fan_in)
+        if getattr(self, "spectral_norm", False):
+            return self._spectral_weight(shape, w_init)
         if not self.weight_norm:
             return self.param("weight", w_init, tuple(shape))
         v = self.param("weight_v", w_init, tuple(shape))
@@ -66,6 +68,34 @@ class _WeightNormMixin:
         # weight equals v; the lambda closes over the freshly created v.
         g = self.param("weight_g", lambda rng, s: _norm_except_dim0(v).reshape(s), g_shape)
         return v * (g / _norm_except_dim0(v))
+
+    def _spectral_weight(self, shape: Sequence[int], w_init) -> jnp.ndarray:
+        """Spectral normalization w / sigma_max(w) via one power-iteration step
+        per call (the torch.nn.utils.spectral_norm semantics used by the
+        discriminators when use_spectral_norm=true, models.py:175).
+
+        The left singular vector estimate lives in the mutable ``spectral``
+        collection ('weight_u', matching the torch buffer name); callers that
+        apply with ``mutable=['spectral']`` persist the iteration, others use
+        the stored estimate read-only (torch eval mode).
+        """
+        eps = 1e-12
+        w = self.param("weight_orig", w_init, tuple(shape))
+        mat = w.reshape(shape[0], -1)
+        u_var = self.variable(
+            "spectral", "weight_u",
+            lambda: jax.random.normal(self.make_rng("params"), (shape[0],), jnp.float32),
+        )
+        u = jax.lax.stop_gradient(u_var.value)
+        v = mat.T.astype(jnp.float32) @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u_new = mat.astype(jnp.float32) @ v
+        u_new = u_new / (jnp.linalg.norm(u_new) + eps)
+        if not self.is_initializing() and self.is_mutable_collection("spectral"):
+            # persists only when 'spectral' is listed in apply(mutable=...)
+            u_var.value = jax.lax.stop_gradient(u_new)
+        sigma = jnp.dot(u_new, mat.astype(jnp.float32) @ v)
+        return w / sigma.astype(w.dtype)
 
     def _bias(self, out_channels: int, fan_in: int) -> jnp.ndarray | None:
         if not self.use_bias:
@@ -99,14 +129,15 @@ def pack_conv_weight(w_hio: jnp.ndarray, dilation: int, p: int):
     d_max = (p - 1 + dilation * (k - 1) - r) // p
     kp = d_max - d_min + 1
 
-    wp = jnp.zeros((kp, p * cin, p * cout), w_hio.dtype)
+    # One einsum against a constant 0/1 placement tensor (constant-folded by
+    # XLA) instead of kp*p dynamic-update-slices per call.
+    place = np.zeros((k, kp, p, p), w_hio.dtype)  # [tau, delta, phase, j]
     for j in range(p):
         for tau in range(k):
             u = j + dilation * tau - r
-            delta, ph = u // p, u % p
-            wp = wp.at[
-                delta - d_min, ph * cin : (ph + 1) * cin, j * cout : (j + 1) * cout
-            ].set(w_hio[tau])
+            place[tau, u // p - d_min, u % p, j] = 1
+    wp = jnp.einsum("tio,tdpj->dpijo", w_hio, jnp.asarray(place))
+    wp = wp.reshape(kp, p * cin, p * cout)
     return wp, -d_min, d_max
 
 
@@ -128,6 +159,7 @@ class NormConv1d(nn.Module, _WeightNormMixin):
     groups: int = 1
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     zero_init: bool = False
     pack: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -271,6 +303,7 @@ class NormConv2d(nn.Module, _WeightNormMixin):
     padding: tuple[int, int] = (0, 0)
     use_bias: bool = True
     weight_norm: bool = True
+    spectral_norm: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

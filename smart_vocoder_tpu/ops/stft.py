@@ -150,6 +150,16 @@ def mel_spectrogram(y: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     return spec_to_mel(spectrogram(y, cfg), cfg)
 
 
+def dynamic_range_compression(x: jnp.ndarray, clip_val: float = 1e-5) -> jnp.ndarray:
+    """log(clamp(x, clip_val)) (ref: mel_processing.py:19-25)."""
+    return jnp.log(jnp.clip(x, min=clip_val))
+
+
+def dynamic_range_decompression(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of the log compression (ref: mel_processing.py:28-34)."""
+    return jnp.exp(x)
+
+
 def mel_basis_array(cfg: MelConfig) -> np.ndarray:
     """The (n_mels, n_fft//2+1) slaney basis as a host constant."""
     return _mel_basis(cfg.sampling_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
