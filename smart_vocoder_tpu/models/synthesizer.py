@@ -168,10 +168,11 @@ class Generator(nn.Module):
     upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
     gin_channels: int = 0
     # Space-to-depth packing for lane-starved (<128ch) late stages -- exact
-    # math (see nn/conv.py pack_conv_weight). Default OFF: measured on v5e,
-    # XLA's im2col lowering already recovers enough K-utilization that the
-    # packing's FLOP inflation loses (scripts/profile_decoder.py).
-    channel_pack: bool = False
+    # math (see nn/conv.py pack_conv_weight). Measured on v5e (bench.py, 3x
+    # repeats): full-model synthesis 92.5 ms/step packed vs 113.4 ms unpacked
+    # (1000x vs 816x real time) -- packing wins in the fused full graph even
+    # though isolated stage microbenchmarks favor the direct lowering.
+    channel_pack: bool = True
     dtype: jnp.dtype = jnp.float32
     weight_norm: bool = True
 
