@@ -14,7 +14,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-from smart_vocoder_tpu.kernels import fused_mrf_stage, mrf_stage_reference
+from smart_vocoder_tpu.kernels import (
+    fused_mrf_stage,
+    fused_mrf_stage_packed,
+    mrf_stage_reference,
+)
 
 SHAPES = {1: (8000, 256), 2: (64000, 128), 3: (128000, 64), 4: (256000, 32)}
 KS = (3, 7, 11)
@@ -46,9 +50,9 @@ def main():
     ref = jax.jit(lambda x, br: jnp.sum(
         mrf_stage_reference(x, br, KS).astype(jnp.float32)))
     fused = jax.jit(lambda x, br: jnp.sum(
-        fused_mrf_stage(x, br, KS, tile=tile).astype(jnp.float32)))
+        fused_mrf_stage_packed(x, br, KS, tile=tile).astype(jnp.float32)))
 
-    for name, fn in [("xla", ref), ("pallas", fused)]:
+    for name, fn in [("xla", ref), ("pallas_packed", fused)]:
         t0 = time.time()
         s = float(fn(x, branches))
         print(f"{name}: compile+run {time.time()-t0:.1f}s chk {s:.1f}", flush=True)

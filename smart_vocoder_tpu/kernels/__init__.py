@@ -13,6 +13,15 @@ kernel surface is:
 """
 
 from smart_vocoder_tpu.kernels.gate import fused_gate
-from smart_vocoder_tpu.kernels.mrf import fused_mrf_stage, mrf_stage_reference
+from smart_vocoder_tpu.kernels.mrf import (
+    fused_mrf_stage,
+    fused_mrf_stage_packed,
+    mrf_stage_reference,
+)
 
-__all__ = ["fused_gate", "fused_mrf_stage", "mrf_stage_reference"]
+__all__ = [
+    "fused_gate",
+    "fused_mrf_stage",
+    "fused_mrf_stage_packed",
+    "mrf_stage_reference",
+]

@@ -1,0 +1,129 @@
+"""Fast functional decoder over a folded parameter pytree.
+
+Serving-path alternative to the flax Generator module: operates directly on
+``fold_weight_norm``-ed params (plain torch-layout arrays), so each MRF stage
+can be routed to either the XLA conv path or the fused Pallas kernel
+(kernels/mrf.py) without touching the training module graph. Bit-compatible
+with ``Generator.__call__`` (parity-tested).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from smart_vocoder_tpu.kernels.mrf import fused_mrf_stage_packed, mrf_stage_reference
+
+LRELU_SLOPE = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+
+    @classmethod
+    def from_hparams(cls, hps) -> "DecoderConfig":
+        return cls(
+            resblock=hps.model.resblock,
+            resblock_kernel_sizes=tuple(hps.model.resblock_kernel_sizes),
+            resblock_dilation_sizes=tuple(tuple(d) for d in hps.model.resblock_dilation_sizes),
+            upsample_rates=tuple(hps.model.upsample_rates),
+            upsample_initial_channel=hps.model.upsample_initial_channel,
+            upsample_kernel_sizes=tuple(hps.model.upsample_kernel_sizes),
+        )
+
+
+def _conv1d(x, w_oik, bias, padding, dtype):
+    w = jnp.transpose(w_oik, (2, 1, 0)).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w, (1,), [(padding, padding)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def _conv_transpose_polyphase(x, w_iok, bias, k, s, p, dtype):
+    """Identical math to NormConvTranspose1d's polyphase path (nn/conv.py)."""
+    import numpy as np
+
+    in_ch = x.shape[-1]
+    out_ch = w_iok.shape[1]
+    d_min = -((s - 1 + p) // s)
+    d_max = (k - 1 - p) // s
+    kp = d_max - d_min + 1
+    t_idx = s * (d_min + np.arange(kp))[:, None] + np.arange(s)[None, :] + p
+    valid = (t_idx >= 0) & (t_idx < k)
+    gathered = w_iok[:, :, np.clip(t_idx, 0, k - 1)]
+    gathered = jnp.where(jnp.asarray(valid), gathered, 0.0)
+    wc = jnp.transpose(gathered, (2, 0, 3, 1))[::-1]
+    wc = wc.reshape(kp, in_ch, s * out_ch).astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), wc, (1,), [(kp - 1 + d_min, -d_min)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    bsz, t, _ = y.shape
+    y = y.reshape(bsz, t * s, out_ch)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def _stage_branches(params, stage: int, num_kernels: int, dtype):
+    """Assemble (w1, b1, w2, b2) HIO branch weights from folded resblock params."""
+    branches = []
+    for j in range(num_kernels):
+        rb = params[f"resblocks_{stage * num_kernels + j}"]
+        w1 = jnp.stack([jnp.transpose(rb[f"convs1_{i}"]["weight"], (2, 1, 0))
+                        for i in range(3)]).astype(dtype)
+        b1 = jnp.stack([rb[f"convs1_{i}"]["bias"] for i in range(3)]).astype(dtype)
+        w2 = jnp.stack([jnp.transpose(rb[f"convs2_{i}"]["weight"], (2, 1, 0))
+                        for i in range(3)]).astype(dtype)
+        b2 = jnp.stack([rb[f"convs2_{i}"]["bias"] for i in range(3)]).astype(dtype)
+        branches.append((w1, b1, w2, b2))
+    return branches
+
+
+def decoder_apply(
+    params_dec,
+    x: jnp.ndarray,
+    cfg: DecoderConfig,
+    g: jnp.ndarray | None = None,
+    use_pallas: bool = False,
+    interpret: bool = False,
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Folded dec params + latent (B, T, C) -> waveform (B, T*hop, 1)."""
+    assert cfg.resblock == "1", "fast decoder supports ResBlock1 configs"
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    ks = tuple(cfg.resblock_kernel_sizes)
+    dil = tuple(cfg.resblock_dilation_sizes[0])
+
+    x = _conv1d(x, params_dec["conv_pre"]["weight"], params_dec["conv_pre"]["bias"], 3, dtype)
+    if g is not None:
+        x = x + _conv1d(g, params_dec["cond"]["weight"], params_dec["cond"]["bias"], 0, dtype)
+
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        ups = params_dec[f"ups_{i}"]
+        x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u, (k - u) // 2, dtype)
+
+        branches = _stage_branches(params_dec, i, num_kernels, dtype)
+        if use_pallas and ch <= 128:
+            x = fused_mrf_stage_packed(x, branches, ks, dil, interpret=interpret)
+        else:
+            x = mrf_stage_reference(x, branches, ks, dil)
+
+    x = jax.nn.leaky_relu(x)  # default 0.01 slope (models.py:156)
+    x = _conv1d(x, params_dec["conv_post"]["weight"], None, 3, dtype)
+    return jnp.tanh(x)

@@ -50,7 +50,8 @@ def stage_radius(kernel_sizes: Sequence[int], dilations: Sequence[int] = DILATIO
 
 
 def _leaky(x):
-    return jnp.where(x >= 0, x, LRELU_SLOPE * x)
+    # max/min formulation: some TPU targets reject bf16 vector compares
+    return jnp.maximum(x, 0) + LRELU_SLOPE * jnp.minimum(x, 0)
 
 
 def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, dilation: int) -> jnp.ndarray:
@@ -104,9 +105,14 @@ def _mrf_kernel(
 
     x = x_vmem[...]
     # Global row of local row l is i*tile + l in the padded array; real data
-    # occupies padded rows [radius, radius + t_real).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0) + i * tile
-    valid = ((rows >= radius) & (rows < radius + t_real)).astype(x.dtype)
+    # occupies padded rows [radius, radius + t_real). Float comparisons: some
+    # TPU targets reject sub-lane int32 compares.
+    rows = (jax.lax.broadcasted_iota(jnp.float32, (x.shape[0], 1), 0)
+            + jnp.float32(i * tile))
+    valid = jnp.where(
+        (rows >= jnp.float32(radius)) & (rows < jnp.float32(radius + t_real)),
+        jnp.ones_like(rows), jnp.zeros_like(rows),
+    ).astype(x.dtype)
 
     acc = jnp.zeros(x.shape, jnp.float32)
     for br in range(n_br):
@@ -156,6 +162,141 @@ def fused_mrf_stage(
         interpret=interpret,
     )(xp, *weight_args)
     return out[:, :t]
+
+
+def _packed_conv_vmem(x: jnp.ndarray, wp: jnp.ndarray, bias: jnp.ndarray,
+                      lo: int, hi: int) -> jnp.ndarray:
+    """Packed-domain conv on a VMEM value: y[q] = sum_i xpad[q+i] @ wp[i]."""
+    length = x.shape[0]
+    xp = jnp.pad(x, ((lo, hi), (0, 0)))
+    acc = jnp.zeros((length, wp.shape[2]), jnp.float32)
+    for i in range(wp.shape[0]):
+        acc = acc + jnp.dot(xp[i : i + length, :], wp[i],
+                            preferred_element_type=jnp.float32)
+    return (acc + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _mrf_packed_kernel(layer_meta, tile, radius, x_hbm, mask_hbm, *refs):
+    """Packed-domain fused stage. layer_meta: per-branch list of per-conv
+    (lo, hi); refs order: for each branch, for each of 6 convs: (wp, bias);
+    then out_ref, x/mask VMEM scratch, DMA sems. The validity mask (1 inside
+    the real sequence) is precomputed in XLA and DMA'd with the same halo
+    slicing as x -- in-kernel iota/compare patterns are rejected by some TPU
+    targets."""
+    n_w = sum(len(branch) for branch in layer_meta) * 2
+    w_refs = refs[:n_w]
+    out_ref = refs[n_w]
+    x_vmem = refs[n_w + 1]
+    m_vmem = refs[n_w + 2]
+    sems = refs[n_w + 3]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile, tile + 2 * radius), :], x_vmem, sems.at[0]
+    )
+    cm = pltpu.make_async_copy(
+        mask_hbm.at[pl.ds(i * tile, tile + 2 * radius), :], m_vmem, sems.at[1]
+    )
+    cp.start()
+    cm.start()
+    cp.wait()
+    cm.wait()
+
+    x = x_vmem[...]
+    valid = m_vmem[...]
+
+    ridx = 0
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for branch in layer_meta:
+        xb = x
+        for j in range(0, len(branch), 2):
+            lo1, hi1 = branch[j]
+            xt = _packed_conv_vmem(_leaky(xb), w_refs[ridx][...],
+                                   w_refs[ridx + 1][...], lo1, hi1) * valid
+            ridx += 2
+            lo2, hi2 = branch[j + 1]
+            xt = _packed_conv_vmem(_leaky(xt), w_refs[ridx][...],
+                                   w_refs[ridx + 1][...], lo2, hi2) * valid
+            ridx += 2
+            xb = xt + xb
+        acc = acc + xb.astype(jnp.float32)
+    out_ref[0] = (acc / len(layer_meta)).astype(x.dtype)[radius : radius + tile]
+
+
+def fused_mrf_stage_packed(
+    x: jnp.ndarray,
+    branches: List[BranchWeights],
+    kernel_sizes: Sequence[int],
+    dilations: Sequence[int] = DILATIONS,
+    lane_pack: int | None = None,
+    tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused MRF stage evaluated in the space-to-depth packed domain.
+
+    ``(B, T, C) -> (B, T/p, p*C)`` is a free reshape; every conv becomes a
+    packed block-Toeplitz conv (nn/conv.py pack_conv_weight) with a 128-wide
+    channel dim -- which both satisfies the TPU DMA lane-alignment rules the
+    unpacked layout violates (C=32 slices are rejected by Mosaic) and feeds
+    the MXU full 128-lane operands. All 18 convs + activations of the stage
+    run per tile in VMEM with a single halo DMA.
+    """
+    from smart_vocoder_tpu.nn.conv import pack_conv_weight
+
+    bsz, t, c = x.shape
+    p = lane_pack or max(1, 128 // c)
+    assert t % p == 0, (t, p)
+    tp = t // p
+
+    # Pre-pack all conv weights; collect per-conv packed paddings.
+    weight_args: List[jnp.ndarray] = []
+    layer_meta: List[List[tuple]] = []
+    radius = 0
+    for (w1, b1, w2, b2), k in zip(branches, kernel_sizes):
+        metas = []
+        branch_halo = 0
+        for j, d in enumerate(dilations):
+            for w, bb, dil in ((w1[j], b1[j], d), (w2[j], b2[j], 1)):
+                wp, lo, hi = pack_conv_weight(w, dil, p)
+                weight_args.append(wp.astype(x.dtype))
+                weight_args.append(jnp.tile(bb, p).astype(x.dtype))
+                metas.append((lo, hi))
+                branch_halo += max(lo, hi)
+        layer_meta.append(metas)
+        radius = max(radius, branch_halo)
+    radius = -(-radius // 8) * 8  # sublane-align the halo
+
+    t_pad = -tp % tile
+    xr = x.reshape(bsz, tp, p * c)
+    xr = jnp.pad(xr, ((0, 0), (radius, radius + t_pad), (0, 0)))
+    n_tiles = (tp + t_pad) // tile
+
+    # Validity mask over padded packed rows, broadcast across lanes.
+    total = tp + t_pad + 2 * radius
+    mask = jnp.zeros((total, 1), x.dtype).at[radius : radius + tp].set(1.0)
+    mask = jnp.broadcast_to(mask, (total, p * c))
+
+    kernel = functools.partial(_mrf_packed_kernel, tuple(map(tuple, layer_meta)),
+                               tile, radius)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_args)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp + t_pad, p * c), x.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, p * c), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * radius, p * c), x.dtype),
+            pltpu.VMEM((tile + 2 * radius, p * c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xr, mask, *weight_args)
+    return out[:, :tp].reshape(bsz, t, c)
 
 
 def mrf_stage_reference(

@@ -1,0 +1,44 @@
+"""Fast functional decoder (kernels/decoder.py) parity vs the flax Generator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smart_vocoder_tpu.kernels.decoder import DecoderConfig, decoder_apply
+from smart_vocoder_tpu.models import Generator
+from smart_vocoder_tpu.nn import fold_weight_norm
+
+
+@pytest.fixture(scope="module")
+def gen_setup():
+    cfg = DecoderConfig(
+        resblock="1", resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5),) * 3,
+        upsample_rates=(8, 8, 2, 2), upsample_initial_channel=64,
+        upsample_kernel_sizes=(16, 16, 4, 4),
+    )
+    mod = Generator(
+        32, cfg.resblock, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes,
+        cfg.upsample_rates, cfg.upsample_initial_channel, cfg.upsample_kernel_sizes,
+        channel_pack=False,
+    )
+    x = jax.random.normal(jax.random.key(0), (2, 16, 32)) * 0.5
+    params = mod.init(jax.random.key(1), x)["params"]
+    want = mod.apply({"params": params}, x)
+    folded = fold_weight_norm(params)
+    return cfg, folded, x, want
+
+
+class TestFastDecoder:
+    def test_xla_path_matches_module(self, gen_setup):
+        cfg, folded, x, want = gen_setup
+        got = decoder_apply(folded, x, cfg, dtype=jnp.float32)
+        assert got.shape == want.shape == (2, 16 * 256, 1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    def test_pallas_path_matches_module(self, gen_setup):
+        cfg, folded, x, want = gen_setup
+        got = decoder_apply(folded, x, cfg, use_pallas=True, interpret=True,
+                            dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)

@@ -5,7 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from smart_vocoder_tpu.kernels import fused_gate, fused_mrf_stage, mrf_stage_reference
+from smart_vocoder_tpu.kernels import (
+    fused_gate,
+    fused_mrf_stage,
+    fused_mrf_stage_packed,
+    mrf_stage_reference,
+)
 from smart_vocoder_tpu.kernels.mrf import stage_radius
 from smart_vocoder_tpu.nn import gated_activation
 
@@ -60,6 +65,25 @@ class TestFusedMRF:
     def test_radius(self):
         assert stage_radius((3, 7, 11)) == 5 * 12
         assert stage_radius((3,)) == 12
+
+    @pytest.mark.parametrize("c,pack", [(32, 4), (64, 2)])
+    def test_packed_kernel_matches_reference(self, c, pack):
+        ks = (3, 7, 11)
+        x = jax.random.normal(jax.random.key(6), (2, 64 * pack * 4, c)) * 0.3
+        branches = make_branches(jax.random.key(7), c, ks)
+        want = mrf_stage_reference(x, branches, ks)
+        got = fused_mrf_stage_packed(x, branches, ks, lane_pack=pack, tile=32,
+                                     interpret=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+    def test_packed_kernel_tile_invariance(self):
+        c, ks = 32, (3, 7, 11)
+        x = jax.random.normal(jax.random.key(8), (1, 512, c)) * 0.3
+        branches = make_branches(jax.random.key(9), c, ks)
+        a = fused_mrf_stage_packed(x, branches, ks, tile=16, interpret=True)
+        b = fused_mrf_stage_packed(x, branches, ks, tile=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
     def test_matches_flax_resblocks(self):
         """Oracle check: the jnp reference equals the real ResBlock1 modules."""
