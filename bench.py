@@ -45,19 +45,36 @@ def main() -> None:
     sr = hps.data.sampling_rate
     hop = hps.data.hop_length
 
-    net = build_synthesizer(hps, dtype=jnp.bfloat16)
+    use_pallas = "--no-pallas" not in sys.argv
+    net = build_synthesizer(hps, dtype=jnp.bfloat16, weight_norm=False)
     mel = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, hps.data.n_mel_channels)) * 2.0 - 4.0
     lens = jnp.full((BATCH,), FRAMES, jnp.int32)
     spec = jnp.zeros((BATCH, FRAMES, hps.data.filter_length // 2 + 1))
-    log(f"devices: {jax.devices()}")
-    params = net.init(jax.random.key(1), mel, lens, spec, lens, jax.random.key(2))["params"]
+    log(f"devices: {jax.devices()}; pallas={use_pallas}")
+    params = jax.jit(
+        lambda k1, k2: net.init(k1, mel, lens, spec, lens, k2)["params"]
+    )(jax.random.key(1), jax.random.key(2))
+
+    from smart_vocoder_tpu.kernels.decoder import DecoderConfig, decoder_apply
+
+    dec_cfg = DecoderConfig.from_hparams(hps)
 
     @jax.jit
     def synth(params, mel, lens, rng):
-        wav, _, _ = net.apply(
-            {"params": params}, mel, lens, rng,
-            noise_scale=0.667, method=SynthesizerTrn.infer,
-        )
+        if use_pallas:
+            def prior_latent(n, mel, lens, rng):
+                _, m_p, logs_p, mask = n.enc_p(mel, lens)
+                eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
+                z_p = m_p + eps * jnp.exp(logs_p) * 0.667
+                return n.flow(z_p, mask, g=None, reverse=True) * mask
+
+            z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
+            wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True)
+        else:
+            wav, _, _ = net.apply(
+                {"params": params}, mel, lens, rng,
+                noise_scale=0.667, method=SynthesizerTrn.infer,
+            )
         # In-graph checksum: fetching this scalar afterwards proves the step
         # ran to completion (execution is FIFO per device). Ad-hoc op-by-op
         # reductions outside jit can hang/misreport over the tunneled backend.

@@ -33,10 +33,15 @@ class Vocoder:
         dtype=jnp.bfloat16,
         buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096),
         fold: bool = True,
+        use_pallas: bool | None = None,
     ):
         self.hps = hps
         self.mel_cfg = MelConfig.from_hparams(hps)
         self.buckets = sorted(buckets)
+        if use_pallas is None:
+            use_pallas = bool(hps.tpu.get("use_pallas", False))
+        # Fast decoder supports the ResBlock1 family (both shipped configs).
+        self.use_pallas = use_pallas and fold and hps.model.resblock == "1"
         if fold:
             # Bake g*v/||v|| into plain weights -- the TPU analogue of the
             # reference's remove_weight_norm() before inference (models.py:162).
@@ -47,16 +52,49 @@ class Vocoder:
         else:
             self.net = build_synthesizer(hps, dtype=dtype)
         self.params = params_g
-        self._infer = jax.jit(
-            partial(self._apply_infer, self.net),
-            static_argnames=("noise_scale",),
-        )
+        if self.use_pallas:
+            from smart_vocoder_tpu.kernels.decoder import DecoderConfig
+
+            dec_cfg = DecoderConfig.from_hparams(hps)
+            self._infer = jax.jit(
+                partial(self._apply_infer_fast, self.net, dec_cfg, dtype),
+                static_argnames=("noise_scale",),
+            )
+        else:
+            self._infer = jax.jit(
+                partial(self._apply_infer, self.net),
+                static_argnames=("noise_scale",),
+            )
 
     @staticmethod
     def _apply_infer(net, params, mel, lengths, rng, noise_scale, sid=None):
         o, mask, _ = net.apply(
             {"params": params}, mel, lengths, rng,
             sid=sid, noise_scale=noise_scale, method=SynthesizerTrn.infer,
+        )
+        return o, mask
+
+    @staticmethod
+    def _apply_infer_fast(net, dec_cfg, dtype, params, mel, lengths, rng,
+                          noise_scale, sid=None):
+        """Prior + reverse flow via the module graph, decoder via the fused
+        Pallas fast path (kernels/decoder.py)."""
+        from smart_vocoder_tpu.kernels.decoder import decoder_apply
+
+        def prior_latent(n, mel, lengths, rng, sid):
+            g = n._speaker(sid)
+            _, m_p, logs_p, mask = n.enc_p(mel, lengths)
+            eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
+            z_p = m_p + eps * jnp.exp(logs_p) * noise_scale
+            z = n.flow(z_p, mask, g=g, reverse=True)
+            return z * mask, mask, g
+
+        z, mask, g = net.apply(
+            {"params": params}, mel, lengths, rng, sid, method=prior_latent,
+        )
+        o = decoder_apply(
+            params["dec"], z, dec_cfg, g=g, use_pallas=True, dtype=dtype,
+            interpret=jax.default_backend() != "tpu",  # CPU runs the interpreter
         )
         return o, mask
 

@@ -42,3 +42,31 @@ class TestFastDecoder:
         got = decoder_apply(folded, x, cfg, use_pallas=True, interpret=True,
                             dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+
+
+class TestVocoderPallas:
+    def test_vocoder_use_pallas_matches(self, tmp_path):
+        import json, os
+        from test_inference_api import tiny_vocoder
+        from smart_vocoder_tpu.config import load_config
+        from smart_vocoder_tpu.inference import Vocoder
+        from smart_vocoder_tpu.models import build_synthesizer
+
+        # resblock-1 tiny config (the fast path's family)
+        hps, params = tiny_vocoder(tmp_path)
+        hps.model.resblock = "1"
+        hps.model.resblock_kernel_sizes = [3, 7]
+        hps.model.resblock_dilation_sizes = [[1, 3, 5], [1, 3, 5]]
+        net = build_synthesizer(hps)
+        t = 64
+        mel0 = jnp.zeros((1, t, 80))
+        spec0 = jnp.zeros((1, t, 513))
+        lens0 = jnp.full((1,), t, jnp.int32)
+        params = net.init(jax.random.key(0), mel0, lens0, spec0, lens0,
+                          jax.random.key(1))["params"]
+        mel = np.random.default_rng(0).normal(-4, 2, (1, 64, 80)).astype(np.float32)
+        a = Vocoder(hps, params, dtype=jnp.float32, buckets=(64,), use_pallas=False)
+        b = Vocoder(hps, params, dtype=jnp.float32, buckets=(64,), use_pallas=True)
+        wa = a.mel_to_wav(mel, seed=3)[0]
+        wb = b.mel_to_wav(mel, seed=3)[0]
+        np.testing.assert_allclose(wb, wa, atol=5e-4)
