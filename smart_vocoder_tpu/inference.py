@@ -102,7 +102,6 @@ class Vocoder:
     @classmethod
     def from_torch_checkpoint(cls, config_path: str, pth_path: str, **kw) -> "Vocoder":
         """Load a reference G_*.pth (notebook cell 3)."""
-        from smart_vocoder_tpu.training.optim import make_optimizer
         from smart_vocoder_tpu.utils.checkpoint import load_reference_generator
 
         hps = load_config(config_path)

@@ -190,7 +190,7 @@ def _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg, writer_eval,
     mel = spec_to_mel(batch.spec[:1], mel_cfg)
     y_hat, mask, _ = infer_fn(
         state.params_g, mel, batch.spec_lengths[:1],
-        jax.random.key(0), max_len=1000 * hps.data.hop_length // hps.data.hop_length,
+        jax.random.key(0), max_len=1000,  # frames, matching train.py:273
     )
     y_hat = np.asarray(jax.device_get(y_hat), dtype=np.float32)
     y_hat_len = int(np.asarray(mask).sum() * hps.data.hop_length)

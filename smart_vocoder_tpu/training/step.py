@@ -21,7 +21,6 @@ commons.py:62, train.py:171).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional
 
 import flax.struct

@@ -16,10 +16,9 @@ SR = 22050
 HOP = 256
 
 
-def make_dataset(tmp_path, n=6, frames=48):
+def make_dataset(tmp_path, n=6, frames=48, n_speakers=0):
     wav_dir = os.path.join(str(tmp_path), "wavs")
     os.makedirs(wav_dir, exist_ok=True)
-    rng = np.random.default_rng(0)
     for i in range(n):
         f = frames + 4 * i
         t = np.arange(f * HOP) / SR
@@ -28,7 +27,11 @@ def make_dataset(tmp_path, n=6, frames=48):
     filelist = os.path.join(str(tmp_path), "train.txt")
     with open(filelist, "w") as f:
         for i in range(n):
-            f.write(os.path.join(wav_dir, f"u{i}.wav") + "\n")
+            path = os.path.join(wav_dir, f"u{i}.wav")
+            if n_speakers:
+                f.write(f"{path}|{i % n_speakers}\n")  # multi-speaker filelist
+            else:
+                f.write(path + "\n")
     return filelist
 
 
@@ -44,7 +47,7 @@ def make_config(tmp_path, filelist):
             "training_files": filelist, "validation_files": filelist,
             "max_wav_value": 32768.0, "sampling_rate": SR, "filter_length": 1024,
             "hop_length": HOP, "win_length": 1024, "n_mel_channels": 80,
-            "mel_fmin": 0.0, "mel_fmax": None, "add_blank": True, "n_speakers": 0,
+            "mel_fmin": 0.0, "mel_fmax": None, "add_blank": True, "n_speakers": 3,
         },
         "model": {
             "inter_channels": 32, "hidden_channels": 32, "filter_channels": 64,
@@ -52,7 +55,7 @@ def make_config(tmp_path, filelist):
             "resblock": "2", "resblock_kernel_sizes": [3],
             "resblock_dilation_sizes": [[1, 3]], "upsample_rates": [8, 8, 2, 2],
             "upsample_initial_channel": 32, "upsample_kernel_sizes": [16, 16, 4, 4],
-            "use_spectral_norm": False, "gin_channels": 0,
+            "use_spectral_norm": False, "gin_channels": 8, "use_spk_embed": True,
             "enc_layers": 2, "flow_wn_layers": 2, "disc_width_mult": 0.125,
         },
         "tpu": {
@@ -68,7 +71,9 @@ def make_config(tmp_path, filelist):
 
 @pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
-    filelist = make_dataset(tmp_path)
+    """Multi-speaker DP training end-to-end (BASELINE config #5): speaker-id
+    filelists -> bucketed loader -> speaker-conditioned pjit GAN step."""
+    filelist = make_dataset(tmp_path, n_speakers=3)
     cfg_path = make_config(tmp_path, filelist)
     hps = load_config(cfg_path)
     hps.model_dir = os.path.join(str(tmp_path), "run")
