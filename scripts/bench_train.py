@@ -47,7 +47,12 @@ def main():
     b = make(jax.random.key(0))
     print("init...", flush=True)
     t0 = time.time()
-    state = init_train_state(hps, net_g, net_d, tx_g, tx_d, jax.random.key(1), b)
+    # jit the whole init: op-by-op execution is pathologically slow (and
+    # occasionally hangs) over the tunneled backend
+    state = jax.jit(
+        lambda k, b: init_train_state(hps, net_g, net_d, tx_g, tx_d, k, b)
+    )(jax.random.key(1), b)
+    jax.block_until_ready(state.params_g)
     print(f"init {time.time()-t0:.1f}s; params_g "
           f"{sum(x.size for x in jax.tree.leaves(state.params_g)):,}", flush=True)
 
