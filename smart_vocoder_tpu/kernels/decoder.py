@@ -119,10 +119,10 @@ def decoder_apply(
         x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u, (k - u) // 2, dtype)
 
         branches = _stage_branches(params_dec, i, num_kernels, dtype)
-        # Measured on v5e (scripts/bench_mrf_kernel.py): the fused kernel wins
-        # 2.04x at 32 channels (18.6 vs 37.8 ms) but loses at 64 (24.5 vs
-        # 19.9 ms) where pack=2's FLOP inflation outweighs fusion.
-        if use_pallas and ch <= 32:
+        # Measured on v5e (scripts/bench_mrf_kernel.py, tile 1024): the fused
+        # kernel wins 2.45x at 32 channels (15.4 vs 37.6 ms) and is at parity
+        # at 64 (19.8 vs 20.2 ms) where pack=2's FLOP inflation offsets fusion.
+        if use_pallas and ch <= 64:
             x = fused_mrf_stage_packed(x, branches, ks, dil, interpret=interpret)
         else:
             x = mrf_stage_reference(x, branches, ks, dil)

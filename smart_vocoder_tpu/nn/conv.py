@@ -141,6 +141,57 @@ def pack_conv_weight(w_hio: jnp.ndarray, dilation: int, p: int):
     return wp, -d_min, d_max
 
 
+def pack_convtranspose_weight(w_iok: jnp.ndarray, stride: int, padding: int, p: int):
+    """Repack ``ConvTranspose1d(k, s, p_t)`` for packed-domain evaluation.
+
+    With the input viewed packed by ``p/s`` (``u_packed (Tu*s/p, (p/s)*Cin)``,
+    a free reshape; requires s | p) and the output packed by ``p``, the
+    transposed conv is exactly a stride-1 conv:
+
+        x_packed[q] = sum_i u_packed[q - pad_lo + i] @ wp[i]
+
+    Derivation: x[s*q' + r] = sum_d u[q' - d] @ Wt[:, :, s*d + r + p_t]
+    (see NormConvTranspose1d._polyphase); substituting p*q + j = s*q' + r and
+    folding the u phase e into packed channels gives
+
+        wp[delta - dmin, e*Cin + ci, j*Cout + co] = Wt[ci, co, tau]
+        where m = (tau - j - p_t)/s (when integral), and
+        (p/s)*(-delta) + e = -m  i.e.  delta = -ceil-div, e = (-m) mod (p/s).
+
+    Returns (wp (kp, (p/s)*Cin, p*Cout), pad_lo, pad_hi). Output row count
+    equals input row count (Tu/(p/s) == (Tu*s)/p), so a fused kernel can share
+    tile/halo geometry between this and ordinary packed convs.
+    """
+    import numpy as np
+
+    cin, cout, k = w_iok.shape
+    s = stride
+    assert p % s == 0, (p, s)
+    ps = p // s
+
+    entries = []  # (delta, e, j, tau)
+    for j in range(p):
+        for tau in range(k):
+            num = tau - j - padding
+            if num % s != 0:
+                continue
+            m = num // s
+            delta = (-m) // ps  # floor division = floor((-m)/ps)
+            e = (-m) % ps
+            entries.append((delta, e, j, tau))
+    d_min = min(d for d, *_ in entries)
+    d_max = max(d for d, *_ in entries)
+    kp = d_max - d_min + 1
+
+    place = np.zeros((k, kp, ps, p), w_iok.dtype)  # [tau, delta, e, j]
+    for delta, e, j, tau in entries:
+        place[tau, delta - d_min, e, j] = 1
+    # wp[d, e*Cin+ci, j*Cout+co] = sum_tau Wt[ci, co, tau] * place[tau, d, e, j]
+    wp = jnp.einsum("iot,tdej->deijo", w_iok, jnp.asarray(place))
+    wp = wp.reshape(kp, ps * cin, p * cout)
+    return wp, -d_min, d_max
+
+
 class NormConv1d(nn.Module, _WeightNormMixin):
     """1-D conv over ``(B, T, C)`` with optional torch-style weight norm.
 
