@@ -16,6 +16,7 @@ from smart_vocoder_tpu.kernels.gate import fused_gate
 from smart_vocoder_tpu.kernels.mrf import (
     fused_mrf_stage,
     fused_mrf_stage_packed,
+    fused_up_mrf_stage,
     mrf_stage_reference,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "fused_gate",
     "fused_mrf_stage",
     "fused_mrf_stage_packed",
+    "fused_up_mrf_stage",
     "mrf_stage_reference",
 ]

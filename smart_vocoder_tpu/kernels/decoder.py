@@ -15,7 +15,11 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from smart_vocoder_tpu.kernels.mrf import fused_mrf_stage_packed, mrf_stage_reference
+from smart_vocoder_tpu.kernels.mrf import (
+    fused_mrf_stage_packed,
+    fused_up_mrf_stage,
+    mrf_stage_reference,
+)
 
 LRELU_SLOPE = 0.1
 
@@ -114,14 +118,17 @@ def decoder_apply(
 
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         ch = cfg.upsample_initial_channel // (2 ** (i + 1))
-        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         ups = params_dec[f"ups_{i}"]
-        x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u, (k - u) // 2, dtype)
-
         branches = _stage_branches(params_dec, i, num_kernels, dtype)
-        # Measured on v5e (scripts/bench_mrf_kernel.py, tile 1024): the fused
-        # kernel wins 2.45x at 32 channels (15.4 vs 37.6 ms) and is at parity
-        # at 64 (19.8 vs 20.2 ms) where pack=2's FLOP inflation offsets fusion.
+
+        # Kernel routing, measured end-to-end on v5e (bench.py): the fused MRF
+        # kernel for ch<=64 stages gives 61.6 ms/step vs 92.5 XLA-only.
+        # fused_up_mrf_stage (upsampler folded into the kernel) measured
+        # SLOWER end-to-end (66.5 ms) -- XLA overlaps the standalone upsample
+        # better than the kernel's serial front conv -- so it stays opt-in.
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u,
+                                      (k - u) // 2, dtype)
         if use_pallas and ch <= 64:
             x = fused_mrf_stage_packed(x, branches, ks, dil, interpret=interpret)
         else:

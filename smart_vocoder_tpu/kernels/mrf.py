@@ -299,6 +299,141 @@ def fused_mrf_stage_packed(
     return out[:, :tp].reshape(bsz, t, c)
 
 
+def _up_mrf_kernel(layer_meta, up_meta, tile, radius, u_hbm, mask_hbm, *refs):
+    """Fused upsample + MRF stage in the packed domain.
+
+    Like _mrf_packed_kernel, with a transposed-conv upsampler prepended:
+    the DMA'd tile is the *pre-upsample* tensor packed by p/s (same row
+    count/tile geometry as the packed output -- see pack_convtranspose_weight);
+    ``x = leaky(u)`` then one packed conv performs the upsampling
+    (models.py:147-148 order: lrelu before ups).
+    refs: [wp_up, b_up] + per-branch (wp, bias)*6 + out_ref + u/mask scratch + sems.
+    """
+    n_w = 2 + sum(len(branch) for branch in layer_meta) * 2
+    w_refs = refs[:n_w]
+    out_ref = refs[n_w]
+    u_vmem = refs[n_w + 1]
+    m_vmem = refs[n_w + 2]
+    sems = refs[n_w + 3]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        u_hbm.at[b, pl.ds(i * tile, tile + 2 * radius), :], u_vmem, sems.at[0]
+    )
+    cm = pltpu.make_async_copy(
+        mask_hbm.at[pl.ds(i * tile, tile + 2 * radius), :], m_vmem, sems.at[1]
+    )
+    cp.start()
+    cm.start()
+    cp.wait()
+    cm.wait()
+
+    valid = m_vmem[...]
+    lo_u, hi_u = up_meta
+    x = _packed_conv_vmem(_leaky(u_vmem[...]), w_refs[0][...], w_refs[1][...],
+                          lo_u, hi_u) * valid
+
+    ridx = 2
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for branch in layer_meta:
+        xb = x
+        for j in range(0, len(branch), 2):
+            lo1, hi1 = branch[j]
+            xt = _packed_conv_vmem(_leaky(xb), w_refs[ridx][...],
+                                   w_refs[ridx + 1][...], lo1, hi1) * valid
+            ridx += 2
+            lo2, hi2 = branch[j + 1]
+            xt = _packed_conv_vmem(_leaky(xt), w_refs[ridx][...],
+                                   w_refs[ridx + 1][...], lo2, hi2) * valid
+            ridx += 2
+            xb = xt + xb
+        acc = acc + xb.astype(jnp.float32)
+    out_ref[0] = (acc / len(layer_meta)).astype(x.dtype)[radius : radius + tile]
+
+
+def fused_up_mrf_stage(
+    u: jnp.ndarray,
+    up_weight: jnp.ndarray,  # torch layout (Cin, Cout, k)
+    up_bias: jnp.ndarray,
+    up_kernel: int,
+    up_stride: int,
+    up_padding: int,
+    branches: List[BranchWeights],
+    kernel_sizes: Sequence[int],
+    dilations: Sequence[int] = DILATIONS,
+    lane_pack: int | None = None,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """lrelu -> ConvTranspose upsample -> MRF stage, fused per tile in VMEM.
+
+    ``u (B, Tu, Cin)`` is the pre-upsample activation; output is
+    ``(B, Tu*stride, Cout)``. Saves the XLA upsample op plus one full HBM
+    round-trip of the (largest) stage tensor.
+    """
+    from smart_vocoder_tpu.nn.conv import pack_conv_weight, pack_convtranspose_weight
+
+    bsz, tu, cin = u.shape
+    cout = up_weight.shape[1]
+    p = lane_pack or max(1, 128 // cout)
+    s = up_stride
+    assert p % s == 0 and tu % (p // s) == 0, (p, s, tu)
+    ps = p // s
+    tp = tu // ps  # == (tu * s) // p: packed rows shared by input and output
+
+    wp_up, lo_u, hi_u = pack_convtranspose_weight(up_weight, s, up_padding, p)
+    weight_args: List[jnp.ndarray] = [
+        wp_up.astype(u.dtype), jnp.tile(up_bias, p).astype(u.dtype)
+    ]
+    layer_meta: List[List[tuple]] = []
+    radius = max(lo_u, hi_u)
+    for (w1, b1, w2, b2), k in zip(branches, kernel_sizes):
+        metas = []
+        branch_halo = max(lo_u, hi_u)
+        for j, d in enumerate(dilations):
+            for w, bb, dil in ((w1[j], b1[j], d), (w2[j], b2[j], 1)):
+                wp, lo, hi = pack_conv_weight(w, dil, p)
+                weight_args.append(wp.astype(u.dtype))
+                weight_args.append(jnp.tile(bb, p).astype(u.dtype))
+                metas.append((lo, hi))
+                branch_halo += max(lo, hi)
+        layer_meta.append(metas)
+        radius = max(radius, branch_halo)
+    radius = -(-radius // 8) * 8
+
+    t_pad = -tp % tile
+    ur = u.reshape(bsz, tp, ps * cin)
+    ur = jnp.pad(ur, ((0, 0), (radius, radius + t_pad), (0, 0)))
+    n_tiles = (tp + t_pad) // tile
+
+    total = tp + t_pad + 2 * radius
+    mask = jnp.zeros((total, 1), u.dtype).at[radius : radius + tp].set(1.0)
+    mask = jnp.broadcast_to(mask, (total, p * cout))
+
+    kernel = functools.partial(
+        _up_mrf_kernel, tuple(map(tuple, layer_meta)), (lo_u, hi_u), tile, radius
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_args)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_tiles),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp + t_pad, p * cout), u.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, p * cout), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * radius, ps * cin), u.dtype),
+            pltpu.VMEM((tile + 2 * radius, p * cout), u.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(ur, mask, *weight_args)
+    return out[:, :tp].reshape(bsz, tu * s, cout)
+
+
 def mrf_stage_reference(
     x: jnp.ndarray,
     branches: List[BranchWeights],

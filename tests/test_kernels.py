@@ -85,6 +85,32 @@ class TestFusedMRF:
         b = fused_mrf_stage_packed(x, branches, ks, tile=64, interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("cin,cout,pack", [(64, 32, 4), (128, 64, 2)])
+    def test_fused_up_mrf_matches_reference(self, cin, cout, pack):
+        """lrelu -> ConvTranspose(4,2,1) -> MRF fused == sequential reference."""
+        from smart_vocoder_tpu.kernels import fused_up_mrf_stage
+        from smart_vocoder_tpu.kernels.decoder import _conv_transpose_polyphase
+
+        ks = (3, 7, 11)
+        tu = 256
+        u = jax.random.normal(jax.random.key(10), (2, tu, cin)) * 0.3
+        keyw = jax.random.split(jax.random.key(11), 2)
+        up_w = jax.random.normal(keyw[0], (cin, cout, 4)) * 0.05
+        up_b = jax.random.normal(keyw[1], (cout,)) * 0.05
+        branches = make_branches(jax.random.key(12), cout, ks)
+
+        x = _conv_transpose_polyphase(
+            jax.nn.leaky_relu(u, 0.1), up_w, up_b, 4, 2, 1, jnp.float32)
+        want = mrf_stage_reference(x, branches, ks)
+
+        got = fused_up_mrf_stage(
+            u, up_w, up_b, 4, 2, 1, branches, ks, lane_pack=pack, tile=64,
+            interpret=True,
+        )
+        assert got.shape == want.shape == (2, tu * 2, cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-4, atol=3e-4)
+
     def test_matches_flax_resblocks(self):
         """Oracle check: the jnp reference equals the real ResBlock1 modules."""
         from smart_vocoder_tpu.nn import ResBlock1
