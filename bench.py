@@ -59,32 +59,45 @@ def main() -> None:
 
     dec_cfg = DecoderConfig.from_hparams(hps)
 
-    @jax.jit
-    def synth(params, mel, lens, rng):
-        if use_pallas:
-            def prior_latent(n, mel, lens, rng):
-                _, m_p, logs_p, mask = n.enc_p(mel, lens)
-                eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
-                z_p = m_p + eps * jnp.exp(logs_p) * 0.667
-                return n.flow(z_p, mask, g=None, reverse=True) * mask
+    def make_synth(pallas: bool):
+        @jax.jit
+        def synth(params, mel, lens, rng):
+            if pallas:
+                def prior_latent(n, mel, lens, rng):
+                    _, m_p, logs_p, mask = n.enc_p(mel, lens)
+                    eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
+                    z_p = m_p + eps * jnp.exp(logs_p) * 0.667
+                    return n.flow(z_p, mask, g=None, reverse=True) * mask
 
-            z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
-            wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True)
-        else:
-            wav, _, _ = net.apply(
-                {"params": params}, mel, lens, rng,
-                noise_scale=0.667, method=SynthesizerTrn.infer,
-            )
-        # In-graph checksum: fetching this scalar afterwards proves the step
-        # ran to completion (execution is FIFO per device). Ad-hoc op-by-op
-        # reductions outside jit can hang/misreport over the tunneled backend.
-        return wav, jnp.sum(wav.astype(jnp.float32))
+                z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
+                wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True)
+            else:
+                wav, _, _ = net.apply(
+                    {"params": params}, mel, lens, rng,
+                    noise_scale=0.667, method=SynthesizerTrn.infer,
+                )
+            # In-graph checksum: fetching this scalar afterwards proves the step
+            # ran to completion (execution is FIFO per device). Ad-hoc op-by-op
+            # reductions outside jit can hang/misreport over the tunneled backend.
+            return wav, jnp.sum(wav.astype(jnp.float32))
+        return synth
+
+    synth = make_synth(use_pallas)
 
     rng = jax.random.key(3)
     t0 = time.time()
-    out, chk = synth(params, mel, lens, rng)
+    try:
+        out, chk = synth(params, mel, lens, rng)
+        chk_val = float(chk)
+    except Exception as e:  # Pallas/Mosaic compile flakiness: fall back to XLA
+        if not use_pallas:
+            raise
+        log(f"pallas path failed ({type(e).__name__}: {e}); falling back to XLA path")
+        synth = make_synth(False)
+        out, chk = synth(params, mel, lens, rng)
+        chk_val = float(chk)
     log(f"first compile+run: {time.time() - t0:.1f}s; out {out.shape} {out.dtype} "
-        f"checksum {float(chk):.3f}")
+        f"checksum {chk_val:.3f}")
 
     for i in range(WARMUP):
         out, chk = synth(params, mel, lens, jax.random.fold_in(rng, i))
