@@ -129,6 +129,8 @@ def decoder_apply(
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u,
                                       (k - u) // 2, dtype)
+        # ch<=128 routing measured slower (1230x vs 1571x): stage2's pack=1
+        # kernel can't beat XLA's 74%-of-roofline convs and breaks its fusion.
         if use_pallas and ch <= 64:
             x = fused_mrf_stage_packed(x, branches, ks, dil, interpret=interpret)
         else:
