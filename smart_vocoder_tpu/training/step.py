@@ -3,12 +3,25 @@
 One step = both GAN phases, mirroring the reference's semantics and order:
 
   1. generator forward (posterior -> flow -> random 32-frame slice -> decode)
+     -- computed ONCE via ``jax.vjp`` and shared by both phases, exactly like
+     the reference's single ``y_hat`` reused at train.py:150/:185/:200
   2. NDA jigsaw negative: permute 4 chunks of the real slice, mix
      ``0.75*y_hat + 0.25*y_jigsaw`` (train.py:168-181 -- the repo's main
      training-loop novelty, kept exactly)
   3. D update on (y, stop_gradient(y_negative))                (train.py:185-196)
   4. G update through the *updated* D on (y, y_hat)            (train.py:198-213)
      with composite loss gen + fm + c_mel*melL1 + c_kl*KL      (train.py:202-207)
+
+The G gradient is assembled as loss-grad w.r.t. the generator *outputs*
+(y_hat, z_p, m_p, logs_p, logs_q) pulled back through the saved forward's
+vjp -- one generator forward + one generator backward per step, no re-forward
+inside the loss closure.
+
+When the discriminator uses spectral norm (use_spectral_norm=true,
+models.py:175/:210), the power-iteration vectors live in the mutable
+``spectral`` collection carried on TrainState; both D applies run with
+``mutable=['spectral']`` so ``weight_u`` advances every forward like torch's
+spectral_norm pre-forward hook.
 
 Losses are float32 islands regardless of compute dtype (train.py:189, :201).
 The reference's ``clip_grad_value_(params, None)`` never clips -- it only
@@ -50,6 +63,9 @@ class TrainState:
     params_d: Any
     opt_g: optax.OptState
     opt_d: optax.OptState
+    # Power-iteration u vectors for spectral-normed discriminators; an empty
+    # dict when use_spectral_norm=false (both shipped configs).
+    spectral_d: Any = flax.struct.field(default_factory=dict)
 
 
 def _nda_jigsaw(rng: jax.Array, y: jnp.ndarray, y_hat: jnp.ndarray) -> jnp.ndarray:
@@ -78,21 +94,40 @@ def make_train_step(
     seg_samples = hps.train.segment_size
     c_mel = float(hps.train.c_mel)
     c_kl = float(hps.train.c_kl)
+    use_sn = bool(hps.model.get("use_spectral_norm", False))
 
-    def g_forward(params_g, batch: Batch, mel, rng):
-        return g_module.apply(
-            {"params": params_g}, mel, batch.spec_lengths, batch.spec,
-            batch.spec_lengths, rng, sid=batch.sid,
-        )
+    def d_apply(params_d, spectral_d, y, y_hat):
+        """Discriminator forward; advances power-iteration state when SN is on.
+
+        Returns (y_d_r, y_d_g, fmap_r, fmap_g, new_spectral)."""
+        if use_sn:
+            outs, mut = d_module.apply(
+                {"params": params_d, "spectral": spectral_d}, y, y_hat,
+                mutable=["spectral"],
+            )
+            return (*outs, mut["spectral"])
+        outs = d_module.apply({"params": params_d}, y, y_hat)
+        return (*outs, spectral_d)
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         rng_g, rng_nda = jax.random.split(rng)
         mel = spec_to_mel(batch.spec, mel_cfg)
 
-        # ---- generator forward (shared by both phases via identical rng_g) --
-        y_hat, ids_slice, x_mask, z_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = g_forward(
-            state.params_g, batch, mel, rng_g
+        # ---- ONE generator forward, vjp saved for the G phase ---------------
+        # (the reference computes y_hat once and reuses it, train.py:150)
+        def g_outputs(params_g):
+            y_hat, ids_slice, x_mask, z_mask, (z, z_p, m_p, logs_p, m_q, logs_q) = (
+                g_module.apply(
+                    {"params": params_g}, mel, batch.spec_lengths, batch.spec,
+                    batch.spec_lengths, rng_g, sid=batch.sid,
+                )
+            )
+            return (y_hat, z_p, m_p, logs_p, logs_q), (ids_slice, z_mask)
+
+        g_out, g_vjp, (ids_slice, z_mask) = jax.vjp(
+            g_outputs, state.params_g, has_aux=True
         )
+        y_hat = g_out[0]
 
         y_mel = slice_segments(mel, ids_slice, seg_frames)
         y = slice_segments(batch.wav, ids_slice * hop, seg_samples)
@@ -101,44 +136,47 @@ def make_train_step(
 
         # ---- discriminator phase (train.py:184-196) -------------------------
         def loss_d_fn(params_d):
-            y_d_hat_r, y_d_hat_g, _, _ = d_module.apply({"params": params_d}, y, y_negative)
+            y_d_hat_r, y_d_hat_g, _, _, spectral_new = d_apply(
+                params_d, state.spectral_d, y, y_negative
+            )
             loss_disc, losses_disc_r, losses_disc_g = losses_lib.discriminator_loss(
                 y_d_hat_r, y_d_hat_g
             )
-            return loss_disc, (losses_disc_r, losses_disc_g)
+            return loss_disc, (losses_disc_r, losses_disc_g, spectral_new)
 
-        (loss_disc, (losses_disc_r, losses_disc_g)), grads_d = jax.value_and_grad(
-            loss_d_fn, has_aux=True
-        )(state.params_d)
+        (loss_disc, (losses_disc_r, losses_disc_g, spectral_d)), grads_d = (
+            jax.value_and_grad(loss_d_fn, has_aux=True)(state.params_d)
+        )
         grad_norm_d = optax.global_norm(grads_d)
         updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, updates_d)
 
         # ---- generator phase, through the UPDATED discriminator -------------
         # (reference steps optim_d before re-running net_d(y, y_hat),
-        # train.py:196-200)
-        def loss_g_fn(params_g):
-            y_hat_g, ids_g, _, z_mask_g, (_, z_p_g, m_p_g, logs_p_g, _, logs_q_g) = g_forward(
-                params_g, batch, mel, rng_g
-            )
-            y_mel_g = slice_segments(mel, ids_g, seg_frames)
+        # train.py:196-200). Loss is a function of the saved generator
+        # OUTPUTS; the cotangents pull back through g_vjp -- no second G
+        # forward.
+        def loss_from_outputs(g_out):
+            y_hat_g, z_p_g, m_p_g, logs_p_g, logs_q_g = g_out
             y_hat_mel = mel_spectrogram(y_hat_g[..., 0].astype(jnp.float32), mel_cfg)
-            y_g = slice_segments(batch.wav, ids_g * hop, seg_samples)
 
-            y_d_hat_r, y_d_hat_g, fmap_r, fmap_g = d_module.apply(
-                {"params": params_d}, y_g, y_hat_g
+            y_d_hat_r, y_d_hat_g, fmap_r, fmap_g, spectral_new = d_apply(
+                params_d, spectral_d, y, y_hat_g
             )
-            loss_mel = losses_lib.mel_l1_loss(y_mel_g, y_hat_mel) * c_mel
-            loss_kl = losses_lib.kl_loss(z_p_g, logs_q_g, m_p_g, logs_p_g, z_mask_g) * c_kl
+            loss_mel = losses_lib.mel_l1_loss(y_mel, y_hat_mel) * c_mel
+            loss_kl = losses_lib.kl_loss(z_p_g, logs_q_g, m_p_g, logs_p_g, z_mask) * c_kl
             fmap_r = jax.lax.stop_gradient(fmap_r)  # losses.py:11 .detach()
             loss_fm = losses_lib.feature_loss(fmap_r, fmap_g)
             loss_gen, losses_gen = losses_lib.generator_loss(y_d_hat_g)
             loss_gen_all = loss_gen + loss_fm + loss_mel + loss_kl
-            return loss_gen_all, (loss_gen, losses_gen, loss_fm, loss_mel, loss_kl)
+            return loss_gen_all, (loss_gen, losses_gen, loss_fm, loss_mel,
+                                  loss_kl, spectral_new)
 
-        (loss_gen_all, (loss_gen, losses_gen, loss_fm, loss_mel, loss_kl)), grads_g = (
-            jax.value_and_grad(loss_g_fn, has_aux=True)(state.params_g)
+        (loss_gen_all, (loss_gen, losses_gen, loss_fm, loss_mel, loss_kl,
+                        spectral_d)), cotangents = (
+            jax.value_and_grad(loss_from_outputs, has_aux=True)(g_out)
         )
+        (grads_g,) = g_vjp(cotangents)
         grad_norm_g = optax.global_norm(grads_g)
         updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
@@ -149,6 +187,7 @@ def make_train_step(
             params_d=params_d,
             opt_g=opt_g,
             opt_d=opt_d,
+            spectral_d=spectral_d,
         )
 
         # Scalar names match the reference TB dashboard (train.py:224-229).
@@ -183,11 +222,12 @@ def init_train_state(hps, g_module, d_module, tx_g, tx_d, rng: jax.Array,
         rng_noise, sid=batch.sid,
     )["params"]
     seg = jnp.zeros((batch.wav.shape[0], hps.train.segment_size, 1), batch.wav.dtype)
-    params_d = d_module.init(rng_d, seg, seg)["params"]
+    vars_d = d_module.init(rng_d, seg, seg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=params_g,
-        params_d=params_d,
+        params_d=vars_d["params"],
         opt_g=tx_g.init(params_g),
-        opt_d=tx_d.init(params_d),
+        opt_d=tx_d.init(vars_d["params"]),
+        spectral_d=vars_d.get("spectral", {}),
     )
