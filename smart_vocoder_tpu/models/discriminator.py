@@ -7,7 +7,7 @@ the exact structure the loss layer consumes (losses.py:7-43).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Tuple  # noqa: F401 (Tuple used in field annotation)
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -109,9 +109,10 @@ class MultiPeriodDiscriminator(nn.Module):
     use_spectral_norm: bool = False
     width_mult: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    periods: Tuple[int, ...] = (2, 3, 5, 7, 11)  # reference models.py:238
 
     def setup(self):
-        periods = [2, 3, 5, 7, 11]
+        periods = list(self.periods)
         discs = [DiscriminatorS(width_mult=self.width_mult,
                                 use_spectral_norm=self.use_spectral_norm,
                                 dtype=self.dtype, name="discriminators_0")]
