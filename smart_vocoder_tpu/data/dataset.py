@@ -68,6 +68,41 @@ def stft_magnitude_np(y: np.ndarray, n_fft: int, hop: int, win: int) -> np.ndarr
     return np.sqrt(spec.real**2 + spec.imag**2 + 1e-6).astype(np.float32)
 
 
+def _wav_data_frames(path: str) -> Optional[int]:
+    """Sample-frame count from a RIFF/WAVE header: data_size // block_align.
+
+    Walks the chunk list (handles LIST/fact/etc. before 'data'). Returns None
+    for anything that is not a well-formed wav -- callers fall back to a
+    file-size estimate.
+    """
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            riff = f.read(12)
+            if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+                return None
+            block_align = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    return None
+                cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+                if cid == b"fmt ":
+                    fmt = f.read(size)
+                    if len(fmt) < 16:
+                        return None
+                    block_align = struct.unpack("<H", fmt[12:14])[0]
+                elif cid == b"data":
+                    if not block_align:
+                        return None
+                    return size // block_align
+                else:
+                    f.seek(size + (size & 1), os.SEEK_CUR)
+    except OSError:
+        return None
+
+
 class AudioSpecDataset:
     """(spec, wav, sid) tuples from a filelist (ref: data_utils.py:14-80).
 
@@ -92,10 +127,21 @@ class AudioSpecDataset:
         self._estimate_lengths()
 
     def _estimate_lengths(self) -> None:
-        """Spec length ~= file_size / (2 bytes * hop) (ref: data_utils.py:34-46)."""
-        self.lengths = [
-            os.path.getsize(path) // (2 * self.hop_length) for path, _ in self.entries
-        ]
+        """Spec length for bucketing, from the wav header when parseable.
+
+        The reference estimates ``file_size // (2 * hop)`` (data_utils.py:34-46)
+        -- correct only for mono PCM16. Float32/24-bit/stereo wavs would be
+        under-estimated (up to ~4x), land in too-small buckets, and get
+        silently cropped by the collate. Reading ``data_size / block_align``
+        from the RIFF header is exact for every wav the loader accepts and
+        costs one small read per file at init.
+        """
+        self.lengths = []
+        for path, _ in self.entries:
+            frames = _wav_data_frames(path)
+            if frames is None:  # unparseable header: reference fallback
+                frames = os.path.getsize(path) // 2
+            self.lengths.append(frames // self.hop_length)
 
     def __len__(self) -> int:
         return len(self.entries)

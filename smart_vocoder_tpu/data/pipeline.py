@@ -7,16 +7,20 @@ most ``len(boundaries) - 1`` distinct shapes (SURVEY.md section 5,
 "long-context" row). Wav padding is ``frames * hop`` keeping the exact
 ``wav_len == spec_len * hop`` invariant the slicing math relies on.
 
-A small thread-pool computes host-side STFTs in parallel and a background
-thread keeps a prefetch queue full (the reference uses 8 torch DataLoader
-worker processes, train.py:74; STFT via numpy releases the GIL in FFT so
-threads suffice and avoid fork/pickle overhead).
+A persistent thread-pool decodes/STFTs items for several batches ahead
+(window = ``prefetch``), and a producer thread collates them in order into a
+bounded queue (the reference uses 8 torch DataLoader worker processes,
+train.py:74; numpy FFT releases the GIL so threads suffice and avoid
+fork/pickle overhead). The pool lives for the loader's lifetime -- no
+per-batch executor churn.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+import warnings
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence
 
@@ -36,6 +40,9 @@ def pad_to_bucket(
     """Collate (spec, wav, sid) tuples into one zero-padded static batch.
 
     Sorted by wav length descending like AudioSpecCollate (data_utils.py:94-96).
+    Samples longer than the bucket boundary are truncated with a warning --
+    that indicates a wrong length estimate upstream (see
+    AudioSpecDataset._estimate_lengths), not a normal condition.
     """
     import jax.numpy as jnp
 
@@ -49,6 +56,13 @@ def pad_to_bucket(
     sid = np.zeros((n,), np.int32) if with_sid else None
 
     for i, (s, w, s_id) in enumerate(items):
+        if s.shape[0] > frames:
+            warnings.warn(
+                f"sample with {s.shape[0]} spec frames exceeds its bucket "
+                f"boundary {frames}; truncating. Length estimation and the "
+                f"bucket assignment disagree -- check the wav header parse.",
+                stacklevel=2,
+            )
         t = min(s.shape[0], frames)
         spec[i, :t] = s[:t]
         wav[i, : t * hop] = w[: t * hop]
@@ -83,25 +97,52 @@ class BucketedLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.hop = dataset.hop_length
+        self._pool = ThreadPoolExecutor(
+            max_workers=num_workers, thread_name_prefix="loader"
+        )
 
     def __len__(self) -> int:
         return len(self.sampler)
 
-    def _load_batch(self, indices: List[int]) -> Batch:
-        with ThreadPoolExecutor(max_workers=min(self.num_workers, len(indices))) as pool:
-            items = list(pool.map(self.dataset.__getitem__, indices))
-        frames = self.sampler.bucket_boundary(indices)
-        return pad_to_bucket(items, frames, self.hop, self.with_sid)
-
     def __iter__(self) -> Iterator[Batch]:
-        batches = list(iter(self.sampler))
+        return self.iter_from(0)
+
+    def iter_from(self, skip: int = 0) -> Iterator[Batch]:
+        """Iterate this epoch's batches starting at batch index ``skip``
+        (deterministic resume mid-epoch: the sampler order is epoch-seeded,
+        so skipping replays exactly the already-consumed prefix)."""
+        batches = list(iter(self.sampler))[skip:]
         q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []
 
         def producer():
             try:
-                for idxs in batches:
-                    q.put(self._load_batch(idxs))
+                # Item futures stay ``prefetch + 1`` batches ahead of the
+                # collation point so the pool is never idle while the
+                # consumer drains the queue.
+                pending: deque = deque()
+                it = iter(batches)
+
+                def submit_next() -> bool:
+                    idxs = next(it, None)
+                    if idxs is None:
+                        return False
+                    futs = [
+                        self._pool.submit(self.dataset.__getitem__, i)
+                        for i in idxs
+                    ]
+                    pending.append((idxs, futs))
+                    return True
+
+                for _ in range(self.prefetch + 1):
+                    if not submit_next():
+                        break
+                while pending:
+                    idxs, futs = pending.popleft()
+                    items = [f.result() for f in futs]
+                    frames = self.sampler.bucket_boundary(idxs)
+                    q.put(pad_to_bucket(items, frames, self.hop, self.with_sid))
+                    submit_next()
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)
             finally:

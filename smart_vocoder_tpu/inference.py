@@ -67,30 +67,32 @@ class Vocoder:
             )
 
     @staticmethod
-    def _apply_infer(net, params, mel, lengths, rng, noise_scale, sid=None):
+    def _apply_infer(net, params, mel, lengths, rng, noise_scale, sid=None,
+                     eps=None):
         o, mask, _ = net.apply(
             {"params": params}, mel, lengths, rng,
-            sid=sid, noise_scale=noise_scale, method=SynthesizerTrn.infer,
+            sid=sid, noise_scale=noise_scale, eps=eps, method=SynthesizerTrn.infer,
         )
         return o, mask
 
     @staticmethod
     def _apply_infer_fast(net, dec_cfg, dtype, params, mel, lengths, rng,
-                          noise_scale, sid=None):
+                          noise_scale, sid=None, eps=None):
         """Prior + reverse flow via the module graph, decoder via the fused
         Pallas fast path (kernels/decoder.py)."""
         from smart_vocoder_tpu.kernels.decoder import decoder_apply
 
-        def prior_latent(n, mel, lengths, rng, sid):
+        def prior_latent(n, mel, lengths, rng, sid, eps):
             g = n._speaker(sid)
             _, m_p, logs_p, mask = n.enc_p(mel, lengths)
-            eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
-            z_p = m_p + eps * jnp.exp(logs_p) * noise_scale
+            if eps is None:
+                eps = jax.random.normal(rng, m_p.shape, jnp.float32)
+            z_p = m_p + eps.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
             z = n.flow(z_p, mask, g=g, reverse=True)
             return z * mask, mask, g
 
         z, mask, g = net.apply(
-            {"params": params}, mel, lengths, rng, sid, method=prior_latent,
+            {"params": params}, mel, lengths, rng, sid, eps, method=prior_latent,
         )
         o = decoder_apply(
             params["dec"], z, dec_cfg, g=g, use_pallas=True, dtype=dtype,
@@ -144,8 +146,12 @@ class Vocoder:
         noise_scale: float = 0.667,
         sid: Optional[np.ndarray] = None,
         seed: int = 0,
+        eps: Optional[np.ndarray] = None,
     ) -> list[np.ndarray]:
-        """mel (B, T, n_mels) -> list of B float32 waveforms (true lengths)."""
+        """mel (B, T, n_mels) -> list of B float32 waveforms (true lengths).
+
+        ``eps`` optionally pins the prior noise (B, T, inter_channels);
+        padded with zeros to the bucket boundary like the mel."""
         mel = np.asarray(mel, np.float32)
         b, t, _ = mel.shape
         if lengths is None:
@@ -153,10 +159,14 @@ class Vocoder:
         padded_t = self._bucket(t)
         if padded_t > t:
             mel = np.pad(mel, ((0, 0), (0, padded_t - t), (0, 0)))
+            if eps is not None:
+                eps = np.pad(np.asarray(eps, np.float32),
+                             ((0, 0), (0, padded_t - eps.shape[1]), (0, 0)))
         o, _ = self._infer(
             self.params, jnp.asarray(mel), jnp.asarray(lengths, jnp.int32),
             jax.random.key(seed), noise_scale=noise_scale,
             sid=None if sid is None else jnp.asarray(sid, jnp.int32),
+            eps=None if eps is None else jnp.asarray(eps, jnp.float32),
         )
         o = np.asarray(jax.device_get(o), np.float32)
         hop = self.hps.data.hop_length
@@ -180,6 +190,12 @@ class Vocoder:
         interior is seam-free once ``overlap`` exceeds the receptive radius.
         One compiled program (`chunk` frames) serves any input length.
 
+        The prior noise is ONE full-length field sampled up front and sliced
+        per chunk by absolute frame position, so the overlap regions of
+        neighbouring chunks see identical latents -- with per-chunk RNG the
+        latents would differ inside the overlap and noise_scale > 0 could
+        leave level discontinuities at the joins.
+
         mel: (T, n_mels) or (1, T, n_mels) -> (T * hop,) float32 waveform.
         """
         mel = np.asarray(mel, np.float32)
@@ -192,26 +208,31 @@ class Vocoder:
                                    sid=sid, seed=seed)[0]
         assert overlap < chunk // 2, (overlap, chunk)
 
+        inter = int(self.hps.model.inter_channels)
+        eps_full = np.asarray(
+            jax.random.normal(jax.random.key(seed), (t, inter), jnp.float32)
+        )
+
         step = chunk - 2 * overlap
         out = np.zeros(t * hop, np.float32)
         start = 0
-        idx = 0
         while start < t:
             lo = max(0, start - overlap)
             hi = min(t, start + step + overlap)
             piece = mel[lo:hi]
+            eps = eps_full[lo:hi]
             pad = chunk - piece.shape[0]
             if pad > 0:
                 piece = np.pad(piece, ((0, pad), (0, 0)))
+                eps = np.pad(eps, ((0, pad), (0, 0)))
             wav = self.mel_to_wav(
                 piece[None], np.array([hi - lo]), noise_scale=noise_scale,
-                sid=sid, seed=seed + idx,
+                sid=sid, seed=seed, eps=eps[None],
             )[0]
             keep_lo = start - lo            # frames trimmed at the front
             keep_hi = min(hi, start + step)  # absolute end frame of kept region
             out[start * hop : keep_hi * hop] = wav[keep_lo * hop : (keep_lo + keep_hi - start) * hop]
             start += step
-            idx += 1
         return out
 
     def wav_to_wav(self, wav: np.ndarray, **kw) -> np.ndarray:

@@ -82,17 +82,17 @@ def _conv_transpose_polyphase(x, w_iok, bias, k, s, p, dtype):
     return y
 
 
-def _stage_branches(params, stage: int, num_kernels: int, dtype):
+def _stage_branches(params, stage: int, num_kernels: int, n_pairs: int, dtype):
     """Assemble (w1, b1, w2, b2) HIO branch weights from folded resblock params."""
     branches = []
     for j in range(num_kernels):
         rb = params[f"resblocks_{stage * num_kernels + j}"]
         w1 = jnp.stack([jnp.transpose(rb[f"convs1_{i}"]["weight"], (2, 1, 0))
-                        for i in range(3)]).astype(dtype)
-        b1 = jnp.stack([rb[f"convs1_{i}"]["bias"] for i in range(3)]).astype(dtype)
+                        for i in range(n_pairs)]).astype(dtype)
+        b1 = jnp.stack([rb[f"convs1_{i}"]["bias"] for i in range(n_pairs)]).astype(dtype)
         w2 = jnp.stack([jnp.transpose(rb[f"convs2_{i}"]["weight"], (2, 1, 0))
-                        for i in range(3)]).astype(dtype)
-        b2 = jnp.stack([rb[f"convs2_{i}"]["bias"] for i in range(3)]).astype(dtype)
+                        for i in range(n_pairs)]).astype(dtype)
+        b2 = jnp.stack([rb[f"convs2_{i}"]["bias"] for i in range(n_pairs)]).astype(dtype)
         branches.append((w1, b1, w2, b2))
     return branches
 
@@ -111,6 +111,12 @@ def decoder_apply(
     num_kernels = len(cfg.resblock_kernel_sizes)
     ks = tuple(cfg.resblock_kernel_sizes)
     dil = tuple(cfg.resblock_dilation_sizes[0])
+    # One dilation tuple shared across branches (true of the reference config
+    # family); a per-branch mix would silently produce wrong audio here.
+    assert all(tuple(d) == dil for d in cfg.resblock_dilation_sizes), (
+        "fast decoder assumes identical dilation tuples across MRF branches; "
+        f"got {cfg.resblock_dilation_sizes} -- use the flax Generator path"
+    )
 
     x = _conv1d(x, params_dec["conv_pre"]["weight"], params_dec["conv_pre"]["bias"], 3, dtype)
     if g is not None:
@@ -119,7 +125,7 @@ def decoder_apply(
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         ch = cfg.upsample_initial_channel // (2 ** (i + 1))
         ups = params_dec[f"ups_{i}"]
-        branches = _stage_branches(params_dec, i, num_kernels, dtype)
+        branches = _stage_branches(params_dec, i, num_kernels, len(dil), dtype)
 
         # Kernel routing, measured end-to-end on v5e (bench.py): the fused MRF
         # kernel for ch<=64 stages gives 61.6 ms/step vs 92.5 XLA-only.

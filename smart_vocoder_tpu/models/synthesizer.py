@@ -302,13 +302,21 @@ class SynthesizerTrn(nn.Module):
         sid: jnp.ndarray | None = None,
         noise_scale: float = 1.0,
         max_len: Optional[int] = None,
+        eps: jnp.ndarray | None = None,
     ):
         """Sampling path (ref: models.py:331-339). ``noise_scale_w`` and
         ``length_scale`` from the reference signature are accepted-but-unused
-        there (no duration predictor remains) and therefore omitted."""
+        there (no duration predictor remains) and therefore omitted.
+
+        ``eps`` optionally supplies the prior noise (B, T, inter_channels)
+        explicitly -- chunked long-form inference passes absolute-position
+        slices of one full-length noise field so overlapping chunks see
+        identical latents (seam-free stitching)."""
         g = self._speaker(sid)
         _, m_p, logs_p, x_mask = self.enc_p(x, x_lengths)
-        eps = jax.random.normal(rng, m_p.shape, dtype=jnp.float32).astype(m_p.dtype)
+        if eps is None:
+            eps = jax.random.normal(rng, m_p.shape, dtype=jnp.float32)
+        eps = eps.astype(m_p.dtype)
         z_p = m_p + eps * jnp.exp(logs_p) * noise_scale
         z = self.flow(z_p, x_mask, g=g, reverse=True)
         z = (z * x_mask)[:, :max_len]

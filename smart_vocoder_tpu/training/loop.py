@@ -100,11 +100,24 @@ def run(hps, max_steps: Optional[int] = None) -> None:
                              jax.random.key(hps.train.seed), init_batch)
 
     mngr = ckpt_lib.CheckpointManager(hps.model_dir, keep=hps.tpu.keep_ckpts)
-    state, epoch_start, resumed = ckpt_lib.try_resume(mngr, state)
-    if is_chief and resumed:
-        logger.info("resumed from step %d (epoch %d)", int(state.step), epoch_start - 1)
-
+    # Shard BEFORE restoring: orbax then restores each process's addressable
+    # shards in place (multi-host safe), instead of materializing the full
+    # state on every host.
     state = jax.device_put(state, state_shardings(mesh, state))
+    state, epoch_start, resumed = ckpt_lib.try_resume(mngr, state)
+    # Mid-epoch resume: replay position inside the interrupted epoch from the
+    # deterministic epoch-seeded sampler order (checkpoints happen every
+    # eval_interval steps, not at epoch boundaries).
+    steps_per_epoch = max(1, len(train_loader))
+    skip_batches = 0
+    if resumed:
+        skip_batches = int(state.step) - (epoch_start - 1) * steps_per_epoch
+        if not 0 <= skip_batches < steps_per_epoch:
+            # dataset/config changed since save: start the next epoch cleanly
+            epoch_start, skip_batches = epoch_start + (skip_batches > 0), 0
+        if is_chief:
+            logger.info("resumed from step %d (epoch %d, batch %d)",
+                        int(state.step), epoch_start, skip_batches)
     step_fn = jit_train_step(make_train_step(hps, net_g, net_d, tx_g, tx_d), mesh, state)
 
     # eval/infer fn (rank0): mirrors evaluate() (train.py:251-310)
@@ -116,6 +129,7 @@ def run(hps, max_steps: Optional[int] = None) -> None:
 
     base_key = jax.random.key(hps.train.seed + 1)
     global_step = int(state.step)
+    last_saved_step = global_step if resumed else -1  # don't re-save the resume step
     timer = StepTimer()
     profiler = StepProfiler(
         f"{hps.model_dir}/profile",
@@ -132,7 +146,10 @@ def run(hps, max_steps: Optional[int] = None) -> None:
         )
 
         t_epoch = time.time()
-        for batch_idx, batch in enumerate(train_loader):
+        start_batch = skip_batches if epoch == epoch_start else 0
+        skip_batches = 0
+        for batch_idx, batch in enumerate(train_loader.iter_from(start_batch),
+                                          start=start_batch):
             profiler.maybe_start(global_step)
             step_key = jax.random.fold_in(base_key, global_step)
             batch = shard_batch(mesh, batch)
@@ -152,25 +169,29 @@ def run(hps, max_steps: Optional[int] = None) -> None:
                 scalars.update(timer.metrics(samples_per_step))
                 logging_utils.summarize(writer, global_step, scalars=scalars)
 
-            if is_chief and global_step % hps.train.eval_interval == 0:
-                _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg,
-                          writer_eval, global_step)
-                mngr.save(global_step, jax.device_get(state), epoch)
+            if global_step % hps.train.eval_interval == 0 and global_step != last_saved_step:
+                if is_chief:
+                    _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg,
+                              writer_eval, global_step)
+                # every process participates in a sharded save (chief-only
+                # device_get would fail on non-addressable shards)
+                mngr.save(global_step, state, epoch)
+                last_saved_step = global_step
 
             global_step += 1
             if max_steps is not None and global_step >= max_steps:
                 profiler.close()
-                if is_chief:
-                    mngr.save(global_step, jax.device_get(state), epoch)
-                    mngr.wait()
+                if global_step != last_saved_step:
+                    mngr.save(global_step, state, epoch)
+                mngr.wait()
                 return
 
         if is_chief:
             logger.info("====> Epoch: %d (%.1fs)", epoch, time.time() - t_epoch)
 
-    if is_chief:
-        mngr.save(global_step, jax.device_get(state), hps.train.epochs)
-        mngr.wait()
+    if global_step != last_saved_step:
+        mngr.save(global_step, state, hps.train.epochs)
+    mngr.wait()
 
 
 def _infer_apply(net_g, params_g, mel, lengths, rng, max_len=None):

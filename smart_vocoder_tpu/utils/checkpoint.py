@@ -38,6 +38,14 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, epoch: int) -> None:
+        """Save the (possibly sharded) train state.
+
+        Pass device arrays directly -- orbax snapshots them to host
+        synchronously and writes async/atomically. Under multi-host sharding
+        EVERY process must call this (each writes its addressable shards);
+        do NOT ``jax.device_get`` first (non-addressable shards would fail)
+        and do not guard with a chief-only check.
+        """
         payload = {"state": state, "epoch": epoch}
         self._mngr.save(step, args=ocp.args.StandardSave(payload))
 
@@ -54,6 +62,9 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        # to_shape_dtype_struct preserves shardings: pass a device_put
+        # abstract_state to restore distributed/sharded, a host pytree for
+        # single-process restore.
         target = {
             "state": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state),
             "epoch": 0,
@@ -64,10 +75,16 @@ class CheckpointManager:
 
 def try_resume(mngr: CheckpointManager, abstract_state: Any):
     """Auto-resume like train.py:101-107: latest checkpoint, else fresh start.
-    Returns (state, start_epoch, resumed: bool)."""
+
+    Returns (state, epoch_in_progress, resumed: bool). Checkpoints are taken
+    mid-epoch (every eval_interval steps), so the stored epoch is the one
+    that was RUNNING at save time; the caller resumes into that same epoch
+    and skips the batches already consumed (derivable from state.step and the
+    deterministic epoch-seeded sampler order) instead of jumping to epoch+1
+    and silently dropping the remainder."""
     try:
         state, epoch, _ = mngr.restore(abstract_state)
-        return state, epoch + 1, True
+        return state, max(1, epoch), True
     except Exception:  # noqa: BLE001 -- mirrors the reference's bare try/except
         return abstract_state, 1, False
 

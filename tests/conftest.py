@@ -40,3 +40,24 @@ def reference_path() -> str:
 @pytest.fixture(scope="session")
 def has_reference(reference_path) -> bool:
     return os.path.isdir(reference_path)
+
+
+# ---- speed tiers -----------------------------------------------------------
+# ``pytest -m fast`` gives CI/driver signal in <2 min; ``-m "not slow"``
+# excludes only the multi-minute integration suites.
+_FAST_MODULES = {
+    "test_dsp", "test_data", "test_native_wavio", "test_packed_conv",
+    "test_wn_kernel", "test_config_and_ckpt", "test_voice_conversion",
+}
+_SLOW_MODULES = {
+    "test_train_step", "test_parallel", "test_e2e_training", "test_model_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

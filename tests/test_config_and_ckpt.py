@@ -154,3 +154,105 @@ class TestTorchExportImport:
             np.asarray(restored["enc_q"]["enc"]["in_layers_0"]["weight_v"]),
             np.full((16, 8, 5), 0.5),
         )
+
+
+class TestShardedCheckpoint:
+    """Multi-host-shaped checkpointing: save the SHARDED state (all processes
+    participate; no device_get) and restore shard-in-place onto the mesh
+    (VERDICT round-1 weak #5)."""
+
+    def test_sharded_save_restore_bitwise(self, tmp_path):
+        from smart_vocoder_tpu.parallel import make_mesh
+        from smart_vocoder_tpu.parallel.mesh import state_shardings
+        from smart_vocoder_tpu.utils.checkpoint import CheckpointManager, try_resume
+
+        mesh = make_mesh(data=4, model=2)
+        state = {
+            # >=128 rows divisible by 2 => sharded over the 'model' axis
+            "big": jnp.arange(128 * 3, dtype=jnp.float32).reshape(128, 3),
+            "small": jnp.full((4,), 2.5, jnp.bfloat16),
+            "step": jnp.asarray(42, jnp.int32),
+        }
+        sharded = jax.device_put(state, state_shardings(mesh, state))
+        assert len(sharded["big"].sharding.device_set) > 1  # really sharded
+
+        mngr = CheckpointManager(str(tmp_path))
+        mngr.save(42, sharded, epoch=2)
+        mngr.wait()
+
+        # restore into a sharded abstract target: shardings are preserved
+        abstract = jax.device_put(
+            jax.tree.map(jnp.zeros_like, state), state_shardings(mesh, state)
+        )
+        restored, epoch, resumed = try_resume(mngr, abstract)
+        assert resumed and epoch == 2
+        assert restored["big"].sharding == sharded["big"].sharding
+        for k in state:
+            np.testing.assert_array_equal(np.asarray(restored[k]), np.asarray(state[k]))
+
+
+class TestLoaderResume:
+    def test_iter_from_replays_tail_deterministically(self, tmp_path):
+        """iter_from(k) == the [k:] suffix of the full epoch (mid-epoch
+        resume correctness; ADVICE round-1 on try_resume epoch semantics)."""
+        import scipy.io.wavfile as wavfile
+
+        from smart_vocoder_tpu.config import HParams, validate
+        from smart_vocoder_tpu.data import AudioSpecDataset, BucketSampler, BucketedLoader
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(12):
+            n = 256 * rng.integers(40, 90)
+            wav = (rng.uniform(-0.3, 0.3, n) * 32767).astype(np.int16)
+            p = str(tmp_path / f"w{i}.wav")
+            wavfile.write(p, 22050, wav)
+            paths.append(p)
+        fl = tmp_path / "files.txt"
+        fl.write_text("\n".join(paths))
+        hps = validate(HParams(
+            train=dict(log_interval=1, eval_interval=10, seed=0, epochs=1,
+                       learning_rate=2e-4, betas=[0.8, 0.99], eps=1e-9,
+                       batch_size=2, fp16_run=False, lr_decay=1.0,
+                       segment_size=2048, c_mel=45, c_kl=1.0),
+            data=dict(training_files=str(fl), validation_files=str(fl),
+                      max_wav_value=32768.0, sampling_rate=22050,
+                      filter_length=1024, hop_length=256, win_length=1024,
+                      n_mel_channels=80, mel_fmin=0.0, mel_fmax=None,
+                      n_speakers=0),
+            model=dict(inter_channels=8, hidden_channels=8, resblock="2",
+                       resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1]],
+                       upsample_rates=[8, 8, 2, 2], upsample_initial_channel=16,
+                       upsample_kernel_sizes=[16, 16, 4, 4], gin_channels=0,
+                       use_spectral_norm=False),
+        ))
+        ds = AudioSpecDataset(str(fl), hps.data)
+        sampler = BucketSampler(ds.lengths, 2, [32, 64, 128], shuffle=True)
+        sampler.set_epoch(3)
+        loader = BucketedLoader(ds, sampler, num_workers=2, prefetch=2)
+        full = list(iter(loader))
+        assert len(full) >= 3
+        tail = list(loader.iter_from(2))
+        assert len(tail) == len(full) - 2
+        for a, b in zip(full[2:], tail):
+            np.testing.assert_array_equal(np.asarray(a.spec), np.asarray(b.spec))
+            np.testing.assert_array_equal(np.asarray(a.wav), np.asarray(b.wav))
+
+    def test_header_aware_length_estimate(self, tmp_path):
+        """float32 wavs get exact bucket lengths (ADVICE: 2-bytes/sample
+        assumption under-estimated them ~2x and cropped audio silently)."""
+        import scipy.io.wavfile as wavfile
+
+        from smart_vocoder_tpu.config import HParams
+        from smart_vocoder_tpu.data.dataset import AudioSpecDataset
+
+        n = 256 * 50
+        wav_f32 = np.random.default_rng(1).uniform(-0.3, 0.3, n).astype(np.float32)
+        p = str(tmp_path / "f32.wav")
+        wavfile.write(p, 22050, wav_f32)
+        fl = tmp_path / "files.txt"
+        fl.write_text(p)
+        data_hps = HParams(max_wav_value=1.0, sampling_rate=22050,
+                           filter_length=1024, hop_length=256, win_length=1024)
+        ds = AudioSpecDataset(str(fl), data_hps)
+        assert ds.lengths[0] == 50  # exact, not ~25 from the 2-byte estimate

@@ -127,3 +127,24 @@ class TestVocoderAPI:
         wa = a.mel_to_wav(mel, seed=7)[0]
         wb = b.mel_to_wav(mel, seed=7)[0]
         np.testing.assert_allclose(wa, wb, atol=2e-5)
+
+
+class TestChunkedNoiseConsistency:
+    def test_chunk_size_invariance_with_noise(self, tmp_path):
+        """With noise_scale > 0 the prior noise is one full-length field
+        sliced by absolute position, so different chunkings produce the same
+        waveform (ADVICE round-1: per-chunk RNG made overlap latents disagree
+        and could leave seams)."""
+        from tests.test_inference_api import tiny_vocoder  # self-import safe under pytest
+
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64, 128, 256, 512))
+        rng = np.random.default_rng(2)
+        t = 384
+        mel = rng.normal(-4, 2, size=(t, 80)).astype(np.float32)
+
+        a = voc.mel_to_wav_chunked(mel, chunk=128, overlap=32, noise_scale=0.7, seed=5)
+        b = voc.mel_to_wav_chunked(mel, chunk=256, overlap=48, noise_scale=0.7, seed=5)
+        assert a.shape == b.shape
+        hop = 256
+        np.testing.assert_allclose(a[2 * hop: -2 * hop], b[2 * hop: -2 * hop], atol=2e-4)

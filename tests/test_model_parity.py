@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch", reason="torch parity suite needs torch")
 
 from smart_vocoder_tpu.models import (
     Generator,

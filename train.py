@@ -19,12 +19,19 @@ from smart_vocoder_tpu.training.loop import run
 
 
 def main() -> None:
-    hps = get_hparams()
+    import argparse
+    import sys
+
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--max-steps", type=int, default=None,
+                       help="stop after N global steps (smoke runs/benchmarks)")
+    ns, rest = extra.parse_known_args(sys.argv[1:])
+    hps = get_hparams(rest)
     # Multi-host: a launcher provides coordinator env vars; single-host runs
     # skip distributed init entirely.
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
-    run(hps)
+    run(hps, max_steps=ns.max_steps)
 
 
 if __name__ == "__main__":
