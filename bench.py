@@ -46,6 +46,10 @@ def main() -> None:
     hop = hps.data.hop_length
 
     use_pallas = "--no-pallas" not in sys.argv
+    # Fused WN encoder path: opt-in only -- measured SLOWER than XLA's convs
+    # (16.9 vs 14.7 ms for the B=32 prior+flow; see Vocoder.__init__ and
+    # scripts/bench_wn_path.py). End-to-end: 1556x vs 1569x.
+    use_pallas_wn = use_pallas and "--pallas-wn" in sys.argv
     net = build_synthesizer(hps, dtype=jnp.bfloat16, weight_norm=False)
     mel = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, hps.data.n_mel_channels)) * 2.0 - 4.0
     lens = jnp.full((BATCH,), FRAMES, jnp.int32)
@@ -59,17 +63,26 @@ def main() -> None:
 
     dec_cfg = DecoderConfig.from_hparams(hps)
 
-    def make_synth(pallas: bool):
+    def make_synth(pallas: bool, pallas_wn: bool = False):
         @jax.jit
         def synth(params, mel, lens, rng):
             if pallas:
-                def prior_latent(n, mel, lens, rng):
-                    _, m_p, logs_p, mask = n.enc_p(mel, lens)
-                    eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
-                    z_p = m_p + eps * jnp.exp(logs_p) * 0.667
-                    return n.flow(z_p, mask, g=None, reverse=True) * mask
+                if pallas_wn:
+                    from smart_vocoder_tpu.kernels.encoder import prior_flow_apply
+                    from smart_vocoder_tpu.ops import sequence_mask
 
-                z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
+                    mask = sequence_mask(lens, mel.shape[1]).astype(jnp.bfloat16)
+                    eps = jax.random.normal(
+                        rng, (*mel.shape[:2], hps.model.inter_channels), jnp.float32)
+                    z = prior_flow_apply(params, mel, mask, eps, 0.667)
+                else:
+                    def prior_latent(n, mel, lens, rng):
+                        _, m_p, logs_p, mask = n.enc_p(mel, lens)
+                        eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
+                        z_p = m_p + eps * jnp.exp(logs_p) * 0.667
+                        return n.flow(z_p, mask, g=None, reverse=True) * mask
+
+                    z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
                 wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True)
             else:
                 wav, _, _ = net.apply(
@@ -82,7 +95,7 @@ def main() -> None:
             return wav, jnp.sum(wav.astype(jnp.float32))
         return synth
 
-    synth = make_synth(use_pallas)
+    synth = make_synth(use_pallas, use_pallas_wn)
 
     rng = jax.random.key(3)
     t0 = time.time()

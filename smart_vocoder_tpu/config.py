@@ -83,6 +83,10 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "model_parallel": 1,
     # Enable Pallas TPU kernels for hot ops where available.
     "use_pallas": False,
+    # Route serving enc_p/flow WN stacks through the fused Pallas kernel
+    # (kernels/encoder.py). Off by default: measured slower than XLA's convs
+    # on v5e (see Vocoder.__init__ / scripts/bench_wn_path.py).
+    "use_pallas_wn": False,
     # Checkpoints to retain.
     "keep_ckpts": 5,
     # Trace `profile_steps` training steps starting at `profile_start_step`

@@ -34,6 +34,7 @@ class Vocoder:
         buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096),
         fold: bool = True,
         use_pallas: bool | None = None,
+        use_pallas_wn: bool | None = None,
     ):
         self.hps = hps
         self.mel_cfg = MelConfig.from_hparams(hps)
@@ -42,6 +43,20 @@ class Vocoder:
             use_pallas = bool(hps.tpu.get("use_pallas", False))
         # Fast decoder supports the ResBlock1 family (both shipped configs).
         self.use_pallas = use_pallas and fold and hps.model.resblock == "1"
+        # Fused WN stacks (kernels/encoder.py) are OFF by default: measured on
+        # v5e (scripts/bench_wn_path.py, readback-synced) the Pallas path runs
+        # the B=32 x 1000-frame prior+flow in 16.9-19.6 ms across all
+        # (tile, layers_per_call) configs vs 14.7 ms for XLA's convs -- the
+        # pack-2 block-Toeplitz layout inflates MACs ~1.33x (the 1x1 res/skip
+        # conv computes its block-diagonal structure densely, 2x) while XLA
+        # already runs the k=5 convs at ~55% of bf16 roofline. Needs the
+        # 128-lane row packing (hidden 192 -> 384) of the shipped configs.
+        if use_pallas_wn is None:
+            use_pallas_wn = bool(hps.tpu.get("use_pallas_wn", False))
+        self.use_pallas_wn = bool(
+            use_pallas_wn and fold
+            and hps.model.hidden_channels % 64 == 0
+        )
         if fold:
             # Bake g*v/||v|| into plain weights -- the TPU analogue of the
             # reference's remove_weight_norm() before inference (models.py:162).
@@ -52,12 +67,13 @@ class Vocoder:
         else:
             self.net = build_synthesizer(hps, dtype=dtype)
         self.params = params_g
-        if self.use_pallas:
+        if self.use_pallas or self.use_pallas_wn:
             from smart_vocoder_tpu.kernels.decoder import DecoderConfig
 
-            dec_cfg = DecoderConfig.from_hparams(hps)
+            dec_cfg = DecoderConfig.from_hparams(hps) if self.use_pallas else None
             self._infer = jax.jit(
-                partial(self._apply_infer_fast, self.net, dec_cfg, dtype),
+                partial(self._apply_infer_fast, self.net, dec_cfg, dtype,
+                        self.use_pallas_wn),
                 static_argnames=("noise_scale",),
             )
         else:
@@ -76,28 +92,53 @@ class Vocoder:
         return o, mask
 
     @staticmethod
-    def _apply_infer_fast(net, dec_cfg, dtype, params, mel, lengths, rng,
-                          noise_scale, sid=None, eps=None):
-        """Prior + reverse flow via the module graph, decoder via the fused
-        Pallas fast path (kernels/decoder.py)."""
-        from smart_vocoder_tpu.kernels.decoder import decoder_apply
+    def _apply_infer_fast(net, dec_cfg, dtype, use_pallas_wn, params, mel,
+                          lengths, rng, noise_scale, sid=None, eps=None):
+        """Prior + reverse flow through the fused-WN functional path
+        (kernels/encoder.py), decoder through the fused MRF fast path
+        (kernels/decoder.py); either piece falls back to the module graph
+        when disabled or (for the WN kernel) when speaker-conditioned."""
+        from smart_vocoder_tpu.ops import sequence_mask
 
-        def prior_latent(n, mel, lengths, rng, sid, eps):
-            g = n._speaker(sid)
-            _, m_p, logs_p, mask = n.enc_p(mel, lengths)
+        interpret = jax.default_backend() != "tpu"  # CPU runs the interpreter
+        conditioned = net.use_spk_embed and sid is not None
+
+        if use_pallas_wn and not conditioned:
+            mask = sequence_mask(lengths, mel.shape[1]).astype(dtype)
             if eps is None:
-                eps = jax.random.normal(rng, m_p.shape, jnp.float32)
-            z_p = m_p + eps.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
-            z = n.flow(z_p, mask, g=g, reverse=True)
-            return z * mask, mask, g
+                eps = jax.random.normal(
+                    rng, (*mel.shape[:2], net.inter_channels), jnp.float32)
+            from smart_vocoder_tpu.kernels.encoder import prior_flow_apply
 
-        z, mask, g = net.apply(
-            {"params": params}, mel, lengths, rng, sid, eps, method=prior_latent,
-        )
-        o = decoder_apply(
-            params["dec"], z, dec_cfg, g=g, use_pallas=True, dtype=dtype,
-            interpret=jax.default_backend() != "tpu",  # CPU runs the interpreter
-        )
+            z = prior_flow_apply(
+                params, mel, mask, eps, noise_scale,
+                enc_layers=net.enc_layers, flow_wn_layers=net.flow_wn_layers,
+                hidden=net.hidden_channels, interpret=interpret, dtype=dtype,
+            )
+            g = None
+        else:
+            def prior_latent(n, mel, lengths, rng, sid, eps):
+                g = n._speaker(sid)
+                _, m_p, logs_p, mask = n.enc_p(mel, lengths)
+                if eps is None:
+                    eps = jax.random.normal(rng, m_p.shape, jnp.float32)
+                z_p = m_p + eps.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
+                z = n.flow(z_p, mask, g=g, reverse=True)
+                return z * mask, mask, g
+
+            z, mask, g = net.apply(
+                {"params": params}, mel, lengths, rng, sid, eps, method=prior_latent,
+            )
+
+        if dec_cfg is not None:
+            from smart_vocoder_tpu.kernels.decoder import decoder_apply
+
+            o = decoder_apply(
+                params["dec"], z, dec_cfg, g=g, use_pallas=True, dtype=dtype,
+                interpret=interpret,
+            )
+        else:
+            o = net.apply({"params": params}, z, g, method=lambda n, z, g: n.dec(z, g=g))
         return o, mask
 
     # -- constructors --------------------------------------------------------
