@@ -1,77 +1,93 @@
 #!/usr/bin/env python
-"""Per-stage decoder timing on the TPU: upsample convs vs MRF stacks,
-packed vs unpacked. Usage: python scripts/profile_decoder.py [iters]
+"""Per-stage decoder profile on the serving graph, tunnel-safe.
+
+Times cumulative *prefixes* of the real bench pipeline (prior+flow, then
+upsample+MRF stages 1..k, then conv_post) and reports the differences as
+per-stage cost. Methodology notes (both measured on the tunneled v5e):
+
+- identical-input executions are short-circuited by the backend, so every
+  iteration folds a fresh rng (this script's predecessor timed repeats of
+  one input and produced fiction);
+- ``block_until_ready`` is not a reliable completion barrier here -- each
+  timed loop ends with a host readback (``float``) of an in-graph checksum.
+
+Usage: python scripts/profile_decoder.py [batch] [frames] [iters] [--no-pallas]
 """
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import time
 
 import jax
 import jax.numpy as jnp
 
-from smart_vocoder_tpu.nn import NormConvTranspose1d, ResBlock1
+from smart_vocoder_tpu.config import load_config
+from smart_vocoder_tpu.kernels.decoder import DecoderConfig, decoder_apply
+from smart_vocoder_tpu.models import build_synthesizer
+from smart_vocoder_tpu.nn import fold_weight_norm
 
-B, FRAMES = 8, 1000
-UPS = [(16, 8, 512, 256), (16, 8, 256, 128), (4, 2, 128, 64), (4, 2, 64, 32)]
-KS = (3, 7, 11)
-
-
-def timeit(fn, *args, iters=20):
-    g = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
-    s = float(g(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = g(*args)
-    float(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+USE_PALLAS = "--no-pallas" not in sys.argv
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    t_in = FRAMES
-    total = {"up": 0.0, "mrf": 0.0, "mrf_nopack": 0.0}
-    for i, (k, u, cin, cout) in enumerate(UPS):
-        x = jax.jit(lambda key: jax.random.normal(key, (B, t_in, cin), jnp.bfloat16) * 0.3)(
-            jax.random.key(i))
+    hps = load_config(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "iitp_base.json"))
+    net = build_synthesizer(hps, dtype=jnp.bfloat16, weight_norm=False)
+    net_wn = build_synthesizer(hps, weight_norm=True)
+    dec_cfg = DecoderConfig.from_hparams(hps)
 
-        up = NormConvTranspose1d(cout, k, stride=u, padding=(k - u) // 2, weight_norm=True,
-                                 dtype=jnp.bfloat16)
-        up_params = up.init(jax.random.key(100 + i), x)["params"]
-        dt_up = timeit(lambda x: up.apply({"params": up_params}, x), x, iters=iters)
+    mel = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, 80)) * 2.0 - 4.0
+    lens = jnp.full((BATCH,), FRAMES, jnp.int32)
+    spec = jnp.zeros((BATCH, FRAMES, hps.data.filter_length // 2 + 1))
+    params = jax.jit(lambda k1, k2: fold_weight_norm(
+        net_wn.init(k1, mel, lens, spec, lens, k2)["params"]))(
+        jax.random.key(1), jax.random.key(2))
 
-        t_out = t_in * u
-        y = jax.jit(lambda key: jax.random.normal(key, (B, t_out, cout), jnp.bfloat16) * 0.3)(
-            jax.random.key(50 + i))
+    def make_prefix(stages):
+        """stages: -1 = prior+flow only; 0..4 = + that many decoder stages;
+        5 = full pipeline incl. conv_post."""
+        @jax.jit
+        def f(params, mel, lens, rng):
+            def prior_latent(n, mel, lens, rng):
+                _, m_p, logs_p, mask = n.enc_p(mel, lens)
+                eps = jax.random.normal(rng, m_p.shape, jnp.float32).astype(m_p.dtype)
+                z_p = m_p + eps * jnp.exp(logs_p) * 0.667
+                return n.flow(z_p, mask, g=None, reverse=True) * mask
 
-        def mrf(pack):
-            mods = [ResBlock1(cout, kk, (1, 3, 5), pack=pack, weight_norm=True,
-                              dtype=jnp.bfloat16) for kk in KS]
-            ps = [m.init(jax.random.key(200 + i * 10 + j), y)["params"]
-                  for j, m in enumerate(mods)]
+            z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
+            if stages == -1:
+                return jnp.sum(z.astype(jnp.float32))
+            out = decoder_apply(params["dec"], z, dec_cfg, use_pallas=USE_PALLAS,
+                                max_stages=None if stages >= 5 else stages)
+            return jnp.sum(out.astype(jnp.float32))
+        return f
 
-            def f(y):
-                acc = None
-                for m, p in zip(mods, ps):
-                    o = m.apply({"params": p}, y)
-                    acc = o if acc is None else acc + o
-                return acc / 3
-            return f
+    def timeit(f):
+        rng = jax.random.key(7)
+        float(f(params, mel, lens, rng))
+        for i in range(3):
+            chk = f(params, mel, lens, jax.random.fold_in(rng, i))
+        float(chk)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            chk = f(params, mel, lens, jax.random.fold_in(rng, 100 + i))
+        float(chk)
+        return (time.perf_counter() - t0) / ITERS * 1e3
 
-        pack = max(1, min(8, 128 // cout))
-        dt_mrf = timeit(mrf(pack), y, iters=iters)
-        dt_mrf_np = timeit(mrf(1), y, iters=iters)
-        print(f"stage{i} T={t_in}->{t_out} C={cin}->{cout}: up {dt_up:.2f} ms, "
-              f"mrf(pack={pack}) {dt_mrf:.2f} ms, mrf(nopack) {dt_mrf_np:.2f} ms",
+    labels = {-1: "prior+flow", 1: "stage1 (ch256, T8k)", 2: "stage2 (ch128, T64k)",
+              3: "stage3 (ch64, T128k)", 4: "stage4 (ch32, T256k)", 5: "conv_post+tanh"}
+    prev = 0.0
+    print(f"B={BATCH} T={FRAMES} pallas={USE_PALLAS} iters={ITERS}", flush=True)
+    for s in (-1, 1, 2, 3, 4, 5):
+        ms = timeit(make_prefix(s))
+        print(f"prefix<= {labels[s]:22s}: {ms:8.2f} ms  (+{ms - prev:7.2f})",
               flush=True)
-        total["up"] += dt_up
-        total["mrf"] += dt_mrf
-        total["mrf_nopack"] += dt_mrf_np
-        t_in = t_out
-    print(f"TOTAL up {total['up']:.1f} ms, mrf packed {total['mrf']:.1f} ms, "
-          f"mrf nopack {total['mrf_nopack']:.1f} ms", flush=True)
+        prev = ms
 
 
 if __name__ == "__main__":

@@ -105,8 +105,12 @@ def decoder_apply(
     use_pallas: bool = False,
     interpret: bool = False,
     dtype=jnp.bfloat16,
+    max_stages: int | None = None,
 ) -> jnp.ndarray:
-    """Folded dec params + latent (B, T, C) -> waveform (B, T*hop, 1)."""
+    """Folded dec params + latent (B, T, C) -> waveform (B, T*hop, 1).
+
+    ``max_stages`` truncates the pipeline after N upsample+MRF stages
+    (skipping conv_post) -- profiling aid for per-stage prefix timing."""
     assert cfg.resblock == "1", "fast decoder supports ResBlock1 configs"
     num_kernels = len(cfg.resblock_kernel_sizes)
     ks = tuple(cfg.resblock_kernel_sizes)
@@ -123,6 +127,8 @@ def decoder_apply(
         x = x + _conv1d(g, params_dec["cond"]["weight"], params_dec["cond"]["bias"], 0, dtype)
 
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        if max_stages is not None and i >= max_stages:
+            return x
         ch = cfg.upsample_initial_channel // (2 ** (i + 1))
         ups = params_dec[f"ups_{i}"]
         branches = _stage_branches(params_dec, i, num_kernels, len(dil), dtype)

@@ -51,6 +51,7 @@ _FAST_MODULES = {
 }
 _SLOW_MODULES = {
     "test_train_step", "test_parallel", "test_e2e_training", "test_model_parity",
+    "test_golden_fixture",  # full-size f32 synthesis compile on CPU
 }
 
 
