@@ -31,6 +31,11 @@ from smart_vocoder_tpu.nn import fold_weight_norm
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+# comma-separated prefix list (e.g. "-1,1,2"); each prefix compiles a big
+# graph over the tunnel, so splitting across runs dodges wall-clock limits
+PREFIXES = (tuple(int(s) for s in sys.argv[4].split(","))
+            if len(sys.argv) > 4 and not sys.argv[4].startswith("-""-")
+            else (-1, 1, 2, 3, 4, 5))
 USE_PALLAS = "--no-pallas" not in sys.argv
 
 
@@ -81,12 +86,12 @@ def main():
 
     labels = {-1: "prior+flow", 1: "stage1 (ch256, T8k)", 2: "stage2 (ch128, T64k)",
               3: "stage3 (ch64, T128k)", 4: "stage4 (ch32, T256k)", 5: "conv_post+tanh"}
-    prev = 0.0
+    prev = None
     print(f"B={BATCH} T={FRAMES} pallas={USE_PALLAS} iters={ITERS}", flush=True)
-    for s in (-1, 1, 2, 3, 4, 5):
+    for s in PREFIXES:
         ms = timeit(make_prefix(s))
-        print(f"prefix<= {labels[s]:22s}: {ms:8.2f} ms  (+{ms - prev:7.2f})",
-              flush=True)
+        delta = f"  (+{ms - prev:7.2f})" if prev is not None else ""
+        print(f"prefix<= {labels[s]:22s}: {ms:8.2f} ms{delta}", flush=True)
         prev = ms
 
 

@@ -82,6 +82,36 @@ def _conv_transpose_polyphase(x, w_iok, bias, k, s, p, dtype):
     return y
 
 
+def _conv_transpose_packed(x, w_iok, bias, k, s, p, pack, dtype):
+    """Transposed conv evaluated in the space-to-depth packed domain.
+
+    The unpacked lowering at the late stages (cout 32/64) is lane-starved on
+    both operands AND streams its big tensors at sub-128-lane alignment --
+    measured 33 ms for ups_3 at the bench shape vs ~0.07 TFLOP of useful
+    work. Packing (nn/conv.py pack_convtranspose_weight) makes it one dense
+    128-lane conv: input viewed (B, T/(pack/s), (pack/s)*Cin), output
+    (B, T*s/pack, pack*Cout) -- which is bitwise the packed layout the fused
+    MRF kernel consumes, so XLA elides the reshapes on both sides.
+    """
+    from smart_vocoder_tpu.nn.conv import pack_convtranspose_weight
+
+    bsz, t, cin = x.shape
+    cout = w_iok.shape[1]
+    wp, lo, hi = pack_convtranspose_weight(w_iok, s, p, pack)
+    ps = pack // s
+    xr = x.reshape(bsz, t // ps, ps * cin)
+    y = jax.lax.conv_general_dilated(
+        xr.astype(dtype), wp.astype(dtype), (1,), [(lo, hi)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    if bias is not None:
+        # bias add in the packed domain: broadcasting over the unpacked
+        # (.., Cout) view between two reshapes forces a materialization in
+        # the lane-starved layout and costs ~20 ms at the bench shape
+        y = y + jnp.tile(bias, pack).astype(dtype)
+    return y.reshape(bsz, t * s, cout)
+
+
 def _stage_branches(params, stage: int, num_kernels: int, n_pairs: int, dtype):
     """Assemble (w1, b1, w2, b2) HIO branch weights from folded resblock params."""
     branches = []
@@ -133,20 +163,37 @@ def decoder_apply(
         ups = params_dec[f"ups_{i}"]
         branches = _stage_branches(params_dec, i, num_kernels, len(dil), dtype)
 
-        # Kernel routing, measured end-to-end on v5e (bench.py): the fused MRF
-        # kernel for ch<=64 stages gives 61.6 ms/step vs 92.5 XLA-only.
-        # fused_up_mrf_stage (upsampler folded into the kernel) measured
-        # SLOWER end-to-end (66.5 ms) -- XLA overlaps the standalone upsample
-        # better than the kernel's serial front conv -- so it stays opt-in.
-        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
-        x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u,
-                                      (k - u) // 2, dtype)
-        # ch<=128 routing measured slower (1230x vs 1571x): stage2's pack=1
-        # kernel can't beat XLA's 74%-of-roofline convs and breaks its fusion.
-        if use_pallas and ch <= 64:
-            x = fused_mrf_stage_packed(x, branches, ks, dil, interpret=interpret)
+        # Kernel routing, measured end-to-end on v5e (bench.py, tunnel-safe
+        # readback-synced timing). ch<=64 stages: the whole
+        # lrelu -> ConvTranspose upsample -> MRF block runs as ONE Pallas
+        # kernel (fused_up_mrf_stage) -- isolated stage4 A/B: 53.9 ms vs
+        # 71.5 ms for the separate leaky+polyphase-ups+packed-MRF chain. The
+        # unpacked ups lowering is lane-starved (~33 ms for ~0.07 TFLOP at
+        # ups_3), and evaluating it as a standalone packed XLA conv instead
+        # triggered an XLA layout flip-flop around stage2's convs (43 copies
+        # of the 524 MB (32,64000,128) tensor, ~20 ms) -- in-kernel is both
+        # fastest and fusion-inert. ch=128 (stage2) stays on XLA convs: at
+        # full lane width XLA runs them at ~87% of roofline, and every packed
+        # formulation inflates MACs by the Toeplitz factor.
+        # fused_up only where the input is itself a Pallas stage (ch<=32 ==
+        # stage4, fed by stage3's kernel): hanging a Pallas consumer directly
+        # off stage2's XLA convs re-triggers the layout flip-flop (39 copies).
+        pack = max(1, 128 // ch)
+        if (use_pallas and ch <= 32 and pack % u == 0
+                and x.shape[1] % (pack // u) == 0):
+            x = fused_up_mrf_stage(
+                x, ups["weight"], ups["bias"], k, u, (k - u) // 2,
+                branches, ks, dil, interpret=interpret,
+            )
         else:
-            x = mrf_stage_reference(x, branches, ks, dil)
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u,
+                                          (k - u) // 2, dtype)
+            if use_pallas and ch <= 64:
+                x = fused_mrf_stage_packed(x, branches, ks, dil,
+                                           interpret=interpret)
+            else:
+                x = mrf_stage_reference(x, branches, ks, dil)
 
     x = jax.nn.leaky_relu(x)  # default 0.01 slope (models.py:156)
     x = _conv1d(x, params_dec["conv_post"]["weight"], None, 3, dtype)
