@@ -183,7 +183,7 @@ def decoder_apply(
                 and x.shape[1] % (pack // u) == 0):
             x = fused_up_mrf_stage(
                 x, ups["weight"], ups["bias"], k, u, (k - u) // 2,
-                branches, ks, dil, interpret=interpret,
+                branches, ks, dil, tile=2048, interpret=interpret,
             )
         else:
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)

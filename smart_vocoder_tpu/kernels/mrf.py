@@ -105,10 +105,11 @@ def _mrf_kernel(
 
     x = x_vmem[...]
     # Global row of local row l is i*tile + l in the padded array; real data
-    # occupies padded rows [radius, radius + t_real). Float comparisons: some
-    # TPU targets reject sub-lane int32 compares.
-    rows = (jax.lax.broadcasted_iota(jnp.float32, (x.shape[0], 1), 0)
-            + jnp.float32(i * tile))
+    # occupies padded rows [radius, radius + t_real). Float compares sidestep
+    # sub-lane int32 compare limits on some targets; the iota itself must be
+    # integer (f32 iota is rejected by current Mosaic) and is cast after.
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+            .astype(jnp.float32) + jnp.float32(i * tile))
     valid = jnp.where(
         (rows >= jnp.float32(radius)) & (rows < jnp.float32(radius + t_real)),
         jnp.ones_like(rows), jnp.zeros_like(rows),
