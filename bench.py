@@ -26,7 +26,7 @@ from smart_vocoder_tpu.config import load_config
 from smart_vocoder_tpu.models import build_synthesizer
 from smart_vocoder_tpu.models.synthesizer import SynthesizerTrn
 
-BATCH = 32            # throughput sweet spot measured on v5e (1573x vs 1508x at B=8)
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", 32))  # throughput sweet spot measured on v5e
 FRAMES = 1000         # ~11.6 s of audio per utterance at hop 256 / 22.05 kHz
 WARMUP = 3
 ITERS = 30
