@@ -169,11 +169,17 @@ class Vocoder:
         net_g = build_synthesizer(hps)
         net_d = MultiPeriodDiscriminator(hps.model.get("use_spectral_norm", False))
         tx = make_optimizer(hps)
-        state = init_train_state(hps, net_g, net_d, tx, tx, jax.random.key(0),
-                                 _synthetic_init_batch(hps, 1))
+        # Structure only: orbax restores into shapes, so eval_shape avoids
+        # materializing a throwaway train state (op-by-op init is
+        # pathologically slow over tunneled backends).
+        batch = _synthetic_init_batch(hps, 1)
+        state_shape = jax.eval_shape(
+            lambda k: init_train_state(hps, net_g, net_d, tx, tx, k, batch),
+            jax.random.key(0),
+        )
         mngr = CheckpointManager(model_dir)
-        state, _, _ = mngr.restore(state)
-        return cls(hps, state.params_g, **kw)
+        state, _, _ = mngr.restore(state_shape)
+        return cls(hps, jax.tree.map(jnp.asarray, state.params_g), **kw)
 
     # -- synthesis -----------------------------------------------------------
     def _bucket(self, t: int) -> int:
