@@ -35,7 +35,13 @@ class Vocoder:
         fold: bool = True,
         use_pallas: bool | None = None,
         use_pallas_wn: bool | None = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis for
+        multi-chip serving -- the batch is sharded over it (params
+        replicated) via shard_map; inference is embarrassingly data-parallel
+        (no cross-batch ops), so the Pallas fast paths run unchanged on each
+        shard. ``mel_to_wav`` pads the batch to a multiple of the axis size."""
         self.hps = hps
         self.mel_cfg = MelConfig.from_hparams(hps)
         self.buckets = sorted(buckets)
@@ -71,16 +77,42 @@ class Vocoder:
             from smart_vocoder_tpu.kernels.decoder import DecoderConfig
 
             dec_cfg = DecoderConfig.from_hparams(hps) if self.use_pallas else None
-            self._infer = jax.jit(
-                partial(self._apply_infer_fast, self.net, dec_cfg, dtype,
-                        self.use_pallas_wn),
-                static_argnames=("noise_scale",),
-            )
+            apply_fn = partial(self._apply_infer_fast, self.net, dec_cfg, dtype,
+                               self.use_pallas_wn)
         else:
-            self._infer = jax.jit(
-                partial(self._apply_infer, self.net),
-                static_argnames=("noise_scale",),
-            )
+            apply_fn = partial(self._apply_infer, self.net)
+        self.mesh = mesh
+        if mesh is None:
+            self._infer = jax.jit(apply_fn, static_argnames=("noise_scale",))
+        else:
+            self._infer = self._make_sharded_infer(apply_fn, mesh)
+
+    @staticmethod
+    def _make_sharded_infer(apply_fn, mesh):
+        """Batch-sharded serving over the mesh's 'data' axis.
+
+        shard_map (not pjit partitioning) so every inner op -- including
+        pallas_call kernels -- runs per-shard on its local batch slice with
+        no partitioner involvement. The rng is folded with the shard index so
+        sampled prior noise differs per batch element as in the single-chip
+        path (explicit ``eps`` bypasses the fold and is itself sharded)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def infer(params, mel, lengths, rng, noise_scale, sid=None, eps=None):
+            def local(params, mel, lengths, rng, sid, eps):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                return apply_fn(params, mel, lengths, rng, noise_scale,
+                                sid=sid, eps=eps)
+
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P(), P("data"), P("data")),
+                out_specs=(P("data"), P("data")),
+                check_rep=False,
+            )(params, mel, lengths, rng, sid, eps)
+
+        return jax.jit(infer, static_argnames=("noise_scale",))
 
     @staticmethod
     def _apply_infer(net, params, mel, lengths, rng, noise_scale, sid=None,
@@ -209,6 +241,16 @@ class Vocoder:
             if eps is not None:
                 eps = np.pad(np.asarray(eps, np.float32),
                              ((0, 0), (0, padded_t - eps.shape[1]), (0, 0)))
+        dp = 1 if self.mesh is None else int(self.mesh.shape["data"])
+        pad_b = -b % dp
+        if pad_b:  # batch must tile the mesh's data axis
+            mel = np.pad(mel, ((0, pad_b), (0, 0), (0, 0)))
+            lengths = np.concatenate([lengths, np.full((pad_b,), padded_t, np.int64)])
+            if sid is not None:
+                sid = np.concatenate([np.asarray(sid), np.zeros((pad_b,), np.int64)])
+            if eps is not None:
+                eps = np.pad(np.asarray(eps, np.float32),
+                             ((0, pad_b), (0, 0), (0, 0)))
         o, _ = self._infer(
             self.params, jnp.asarray(mel), jnp.asarray(lengths, jnp.int32),
             jax.random.key(seed), noise_scale=noise_scale,

@@ -91,3 +91,32 @@ class TestInferenceSharding:
                  jax.device_put(lens, NamedSharding(mesh, P("data"))), jax.random.key(0))
         assert out.shape == (8, 64 * 256, 1)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestDataParallelServing:
+    def test_vocoder_dp8_matches_single_device(self, tmp_path):
+        """Vocoder(mesh=...) shards the batch over the data axis and matches
+        the single-device path bitwise-ish on the same inputs + pinned eps,
+        including a non-tiling batch (padded up to the axis size)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_inference_api import tiny_vocoder
+
+        from smart_vocoder_tpu.inference import Vocoder
+
+        hps, params = tiny_vocoder(tmp_path)
+        voc1 = Vocoder(hps, params, dtype=jnp.float32, buckets=(64,))
+        mesh = make_mesh(data=8, model=1)
+        voc8 = Vocoder(hps, params, dtype=jnp.float32, buckets=(64,), mesh=mesh)
+
+        rng = np.random.default_rng(3)
+        for b in (8, 5):  # exact tile + padded batch
+            mel = rng.normal(-4, 2, size=(b, 50, 80)).astype(np.float32)
+            lengths = np.arange(40, 40 + b)
+            eps = rng.normal(size=(b, 64, hps.model.inter_channels)).astype(np.float32)
+            want = voc1.mel_to_wav(mel, lengths, eps=eps)
+            got = voc8.mel_to_wav(mel, lengths, eps=eps)
+            assert len(got) == b
+            for w, g_ in zip(want, got):
+                np.testing.assert_allclose(g_, w, rtol=2e-5, atol=2e-5)
