@@ -50,7 +50,10 @@ def main() -> None:
     # (16.9 vs 14.7 ms for the B=32 prior+flow; see Vocoder.__init__ and
     # scripts/bench_wn_path.py). End-to-end: 1556x vs 1569x.
     use_pallas_wn = use_pallas and "--pallas-wn" in sys.argv
-    net = build_synthesizer(hps, dtype=jnp.bfloat16, weight_norm=False)
+    # --f32: full-precision serving (quality/speed tradeoff datapoint; the
+    # bf16 default's deviation from f32 is the mel_l1_serving number below).
+    dtype = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16
+    net = build_synthesizer(hps, dtype=dtype, weight_norm=False)
     mel = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, hps.data.n_mel_channels)) * 2.0 - 4.0
     lens = jnp.full((BATCH,), FRAMES, jnp.int32)
     spec = jnp.zeros((BATCH, FRAMES, hps.data.filter_length // 2 + 1))
@@ -86,7 +89,8 @@ def main() -> None:
                         return n.flow(z_p, mask, g=None, reverse=True) * mask
 
                     z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
-                wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True)
+                wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True,
+                                    dtype=dtype)
             else:
                 wav, _, _ = net.apply(
                     {"params": params}, mel, lens, rng,
