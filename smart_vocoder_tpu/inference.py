@@ -261,6 +261,42 @@ class Vocoder:
         hop = self.hps.data.hop_length
         return [o[i, : int(lengths[i]) * hop, 0] for i in range(b)]
 
+    def _positional_eps(self, seed: int, start: int, n: int) -> np.ndarray:
+        """Prior noise derived from ABSOLUTE frame position: frame t's latent
+        noise is ``normal(fold_in(key(seed), t))`` regardless of which
+        window/chunk requests it. Overlapping windows therefore see identical
+        latents (seam-free stitching) and streaming needs no lookahead into a
+        pre-materialized full-length field."""
+        inter = int(self.hps.model.inter_channels)
+
+        fns = getattr(self, "_eps_fns", None)
+        if fns is None:
+            fns = self._eps_fns = {}
+        if n not in fns:
+            def eps_fn(key, start, n=n):
+                idx = start + jnp.arange(n)
+                return jax.vmap(
+                    lambda i: jax.random.normal(jax.random.fold_in(key, i),
+                                                (inter,), jnp.float32)
+                )(idx)
+            fns[n] = jax.jit(eps_fn)
+        return np.asarray(fns[n](jax.random.key(seed), jnp.int32(start)))
+
+    def _synth_window(self, mel_win: np.ndarray, lo: int, chunk: int,
+                      noise_scale: float, sid, seed: int) -> np.ndarray:
+        """Decode one window (absolute frames [lo, lo+len)) padded to
+        ``chunk`` frames -- one compiled program serves every window."""
+        n = mel_win.shape[0]
+        eps = self._positional_eps(seed, lo, chunk)[:n]
+        pad = chunk - n
+        if pad > 0:
+            mel_win = np.pad(mel_win, ((0, pad), (0, 0)))
+            eps = np.pad(eps, ((0, pad), (0, 0)))
+        return self.mel_to_wav(
+            mel_win[None], np.array([n]), noise_scale=noise_scale,
+            sid=sid, seed=seed, eps=eps[None],
+        )[0]
+
     def mel_to_wav_chunked(
         self,
         mel: np.ndarray,
@@ -277,13 +313,9 @@ class Vocoder:
         a local mel window (prior WN radius 32 + flow 4x WN8 radius 64 ~= 96
         frames), so decoding overlapping chunks and keeping each chunk's
         interior is seam-free once ``overlap`` exceeds the receptive radius.
-        One compiled program (`chunk` frames) serves any input length.
-
-        The prior noise is ONE full-length field sampled up front and sliced
-        per chunk by absolute frame position, so the overlap regions of
-        neighbouring chunks see identical latents -- with per-chunk RNG the
-        latents would differ inside the overlap and noise_scale > 0 could
-        leave level discontinuities at the joins.
+        One compiled program (`chunk` frames) serves any input length. Prior
+        noise comes from ``_positional_eps`` (identical latents in overlaps;
+        bit-identical to ``stream_mel_to_wav`` on the same inputs).
 
         mel: (T, n_mels) or (1, T, n_mels) -> (T * hop,) float32 waveform.
         """
@@ -292,37 +324,81 @@ class Vocoder:
             mel = mel[0]
         t = mel.shape[0]
         hop = self.hps.data.hop_length
-        if t <= chunk:
-            return self.mel_to_wav(mel[None], np.array([t]), noise_scale=noise_scale,
-                                   sid=sid, seed=seed)[0]
         assert overlap < chunk // 2, (overlap, chunk)
-
-        inter = int(self.hps.model.inter_channels)
-        eps_full = np.asarray(
-            jax.random.normal(jax.random.key(seed), (t, inter), jnp.float32)
-        )
-
         step = chunk - 2 * overlap
+        if t <= step:
+            # single window, positional eps -- matches stream_mel_to_wav's
+            # single-window case bit-for-bit
+            return self._synth_window(mel, 0, chunk, noise_scale, sid, seed)
         out = np.zeros(t * hop, np.float32)
         start = 0
         while start < t:
             lo = max(0, start - overlap)
             hi = min(t, start + step + overlap)
-            piece = mel[lo:hi]
-            eps = eps_full[lo:hi]
-            pad = chunk - piece.shape[0]
-            if pad > 0:
-                piece = np.pad(piece, ((0, pad), (0, 0)))
-                eps = np.pad(eps, ((0, pad), (0, 0)))
-            wav = self.mel_to_wav(
-                piece[None], np.array([hi - lo]), noise_scale=noise_scale,
-                sid=sid, seed=seed, eps=eps[None],
-            )[0]
+            wav = self._synth_window(mel[lo:hi], lo, chunk, noise_scale, sid, seed)
             keep_lo = start - lo            # frames trimmed at the front
             keep_hi = min(hi, start + step)  # absolute end frame of kept region
             out[start * hop : keep_hi * hop] = wav[keep_lo * hop : (keep_lo + keep_hi - start) * hop]
             start += step
         return out
+
+    def stream_mel_to_wav(
+        self,
+        mel_chunks,
+        chunk: int = 1024,
+        overlap: int = 128,
+        noise_scale: float = 0.667,
+        sid: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        """Streaming synthesis: consume mel pieces as they arrive, yield
+        waveform pieces in order (live-TTS serving; SURVEY.md section 5's
+        "chunked/streaming conv eval" long-context answer).
+
+        ``mel_chunks`` is any iterable of ``(T_i, n_mels)`` (or
+        ``(1, T_i, n_mels)``) arrays of arbitrary, varying sizes. Output
+        pieces concatenate to EXACTLY ``mel_to_wav_chunked`` of the full mel
+        with the same (chunk, overlap, seed): windows are cut at the same
+        absolute frame boundaries and the prior noise is position-derived.
+        Latency: a window is emitted once ``step + overlap`` frames beyond
+        its start are buffered (``step = chunk - 2*overlap``); memory is
+        O(chunk) regardless of stream length.
+        """
+        assert overlap < chunk // 2, (overlap, chunk)
+        hop = self.hps.data.hop_length
+        step = chunk - 2 * overlap
+        n_mels = int(self.hps.data.n_mel_channels)
+
+        buf = np.zeros((0, n_mels), np.float32)
+        buf0 = 0   # absolute frame index of buf[0]
+        start = 0  # absolute frame cursor of the next emission
+
+        def emit(start, end_limit):
+            lo = max(0, start - overlap)
+            hi = min(end_limit, start + step + overlap)
+            wav = self._synth_window(buf[lo - buf0 : hi - buf0], lo, chunk,
+                                     noise_scale, sid, seed)
+            keep_hi = min(hi, start + step)
+            return wav[(start - lo) * hop : (keep_hi - lo) * hop], keep_hi
+
+        for piece in mel_chunks:
+            piece = np.asarray(piece, np.float32)
+            if piece.ndim == 3:
+                piece = piece[0]
+            buf = np.concatenate([buf, piece])
+            while buf0 + len(buf) >= start + step + overlap:
+                wav, new_start = emit(start, buf0 + len(buf))
+                yield wav
+                start = new_start
+                keep_from = max(0, start - overlap - buf0)
+                buf = buf[keep_from:]
+                buf0 += keep_from
+
+        end = buf0 + len(buf)
+        while start < end:  # flush the tail
+            wav, new_start = emit(start, end)
+            yield wav
+            start = new_start
 
     def wav_to_wav(self, wav: np.ndarray, **kw) -> np.ndarray:
         """Copy-synthesis: waveform -> mel -> waveform (notebook cell 4)."""

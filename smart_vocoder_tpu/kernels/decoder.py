@@ -178,8 +178,14 @@ def decoder_apply(
         # fused_up only where the input is itself a Pallas stage (ch<=32 ==
         # stage4, fed by stage3's kernel): hanging a Pallas consumer directly
         # off stage2's XLA convs re-triggers the layout flip-flop (39 copies).
+        # Both packed lane widths must hit the 128-lane DMA tiling (small
+        # test configs can otherwise route e.g. ps*cin=32, which Mosaic
+        # rejects: "Slice shape ... must be aligned to tiling (128)").
         pack = max(1, 128 // ch)
-        if (use_pallas and ch <= 32 and pack % u == 0
+        lanes_ok = (pack % u == 0
+                    and (pack // u) * x.shape[-1] % 128 == 0
+                    and pack * ch % 128 == 0)
+        if (use_pallas and ch <= 32 and lanes_ok
                 and x.shape[1] % (pack // u) == 0):
             x = fused_up_mrf_stage(
                 x, ups["weight"], ups["bias"], k, u, (k - u) // 2,
@@ -189,7 +195,8 @@ def decoder_apply(
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u,
                                           (k - u) // 2, dtype)
-            if use_pallas and ch <= 64:
+            if (use_pallas and ch <= 64 and pack * ch % 128 == 0
+                    and x.shape[1] % pack == 0):
                 x = fused_mrf_stage_packed(x, branches, ks, dil,
                                            interpret=interpret)
             else:

@@ -148,3 +148,34 @@ class TestChunkedNoiseConsistency:
         assert a.shape == b.shape
         hop = 256
         np.testing.assert_allclose(a[2 * hop: -2 * hop], b[2 * hop: -2 * hop], atol=2e-4)
+
+
+class TestStreaming:
+    def test_stream_equals_chunked(self, tmp_path):
+        """Streaming over arbitrary piece sizes concatenates to exactly the
+        chunked (and thus the full) synthesis, including ragged tails."""
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64, 128, 256))
+        rng = np.random.default_rng(4)
+        t = 300
+        mel = rng.normal(-4, 2, size=(t, 80)).astype(np.float32)
+
+        want = voc.mel_to_wav_chunked(mel, chunk=128, overlap=32,
+                                      noise_scale=0.7, seed=9)
+        # ragged incoming pieces: 37, 1, 100, 62, 100 frames
+        cuts = [0, 37, 38, 138, 200, 300]
+        pieces = [mel[a:b] for a, b in zip(cuts[:-1], cuts[1:])]
+        got = list(voc.stream_mel_to_wav(iter(pieces), chunk=128, overlap=32,
+                                         noise_scale=0.7, seed=9))
+        assert len(got) > 1
+        np.testing.assert_allclose(np.concatenate(got), want, rtol=0, atol=0)
+
+    def test_stream_short_input_single_window(self, tmp_path):
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64, 128))
+        mel = np.zeros((40, 80), np.float32) - 4
+        got = np.concatenate(list(voc.stream_mel_to_wav([mel], chunk=128,
+                                                        overlap=16)))
+        want = voc.mel_to_wav_chunked(mel, chunk=128, overlap=16)
+        np.testing.assert_array_equal(got, want)
+        assert got.shape == (40 * 256,)
