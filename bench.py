@@ -136,7 +136,8 @@ def main() -> None:
         f"({BATCH}x{FRAMES} frames); samples/sec/chip {BATCH*FRAMES*hop/dt:,.0f}")
 
     mel_l1, mel_l1_serving = fidelity_vs_reference(
-        hps, net, params, synth_path_pallas=use_pallas, pallas_wn=use_pallas_wn)
+        hps, net, params, synth_path_pallas=use_pallas, pallas_wn=use_pallas_wn,
+        dtype=dtype)
 
     result = {
         "metric": "rtf_22k05_synthesis",
@@ -147,12 +148,13 @@ def main() -> None:
     if mel_l1 is not None:
         result["mel_l1_vs_reference"] = round(mel_l1, 5)
         result["fidelity_target"] = 1e-2
-        result["mel_l1_serving_bf16"] = round(mel_l1_serving, 5)
+        suffix = "f32" if dtype == jnp.float32 else "bf16"
+        result[f"mel_l1_serving_{suffix}"] = round(mel_l1_serving, 5)
     print(json.dumps(result))
 
 
 def fidelity_vs_reference(hps, net, params, synth_path_pallas: bool,
-                          pallas_wn: bool):
+                          pallas_wn: bool, dtype=jnp.bfloat16):
     """mel-L1 vs the committed torch-reference golden, computed on-device.
 
     The fixture (scripts/make_golden.py) pins weights (the same recipe as
@@ -219,7 +221,7 @@ def fidelity_vs_reference(hps, net, params, synth_path_pallas: bool,
                 z = net.apply({"params": params}, gmel, glens, geps,
                               method=prior_latent)
             wav = decoder_apply(params["dec"], z, DecoderConfig.from_hparams(hps),
-                                use_pallas=True)
+                                use_pallas=True, dtype=dtype)
         else:
             wav, _, _ = net.apply(
                 {"params": params}, gmel, glens, jax.random.key(0),
