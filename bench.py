@@ -77,10 +77,10 @@ def main() -> None:
                     from smart_vocoder_tpu.kernels.encoder import prior_flow_apply
                     from smart_vocoder_tpu.ops import sequence_mask
 
-                    mask = sequence_mask(lens, mel.shape[1]).astype(jnp.bfloat16)
+                    mask = sequence_mask(lens, mel.shape[1]).astype(dtype)
                     eps = jax.random.normal(
                         rng, (*mel.shape[:2], hps.model.inter_channels), jnp.float32)
-                    z = prior_flow_apply(params, mel, mask, eps, 0.667)
+                    z = prior_flow_apply(params, mel, mask, eps, 0.667, dtype=dtype)
                 else:
                     def prior_latent(n, mel, lens, rng):
                         _, m_p, logs_p, mask = n.enc_p(mel, lens)
@@ -210,8 +210,9 @@ def fidelity_vs_reference(hps, net, params, synth_path_pallas: bool,
                 from smart_vocoder_tpu.kernels.encoder import prior_flow_apply
                 from smart_vocoder_tpu.ops import sequence_mask
 
-                mask = sequence_mask(glens, gmel.shape[1]).astype(jnp.bfloat16)
-                z = prior_flow_apply(params, gmel, mask, geps, noise_scale)
+                mask = sequence_mask(glens, gmel.shape[1]).astype(dtype)
+                z = prior_flow_apply(params, gmel, mask, geps, noise_scale,
+                                     dtype=dtype)
             else:
                 def prior_latent(n, mel, lens, eps):
                     _, m_p, logs_p, mask = n.enc_p(mel, lens)

@@ -66,26 +66,24 @@ def module_path(params, mel, lens, rng):
 print(f"module graph: {timeit(module_path, params, mel, lens):7.2f} ms",
       flush=True)
 
-import smart_vocoder_tpu.kernels.wn_stack as ws
-
 for tile, lpc in itertools.product((128, 256, 512), (2, 4, 8)):
-    def fused(params, mel, mask, rng):
+    # tile/lpc flow through as explicit kwargs -- monkeypatching the
+    # wn_stack module global would NOT reach kernels/encoder.py, which bound
+    # fused_wn_stack by value at import (an earlier revision of this sweep
+    # measured the default config nine times because of exactly that).
+    def fused(params, mel, mask, rng, tile=tile, lpc=lpc):
+        kw = {"tile": tile, "layers_per_call": lpc}
         eps = jax.random.normal(rng, (BATCH, FRAMES, 192), jnp.float32)
         m_p, logs_p = enc_p_apply(params["enc_p"], mel, mask, 16, 192,
-                                  use_pallas=True)
+                                  use_pallas=True, wn_kwargs=kw)
         z_p = m_p + eps.astype(m_p.dtype) * jnp.exp(logs_p) * 0.667
         z = flow_reverse_apply(params["flow"], z_p, mask, 4, 8, 192,
-                               use_pallas=True)
+                               use_pallas=True, wn_kwargs=kw)
         return jnp.sum((z * mask).astype(jnp.float32))
 
-    orig = ws.fused_wn_stack
-    import functools
-    ws.fused_wn_stack = functools.partial(orig, tile=tile, layers_per_call=lpc)
     try:
         ms = timeit(jax.jit(fused), params, mel, mask)
         print(f"fused tile={tile:4d} lpc={lpc}: {ms:7.2f} ms", flush=True)
     except Exception as e:
         print(f"fused tile={tile:4d} lpc={lpc}: FAILED {type(e).__name__}: {e}",
               flush=True)
-    finally:
-        ws.fused_wn_stack = orig

@@ -28,14 +28,14 @@ from smart_vocoder_tpu.kernels.decoder import DecoderConfig, decoder_apply
 from smart_vocoder_tpu.models import build_synthesizer
 from smart_vocoder_tpu.nn import fold_weight_norm
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+BATCH = int(_pos[0]) if len(_pos) > 0 else 32
+FRAMES = int(_pos[1]) if len(_pos) > 1 else 1000
+ITERS = int(_pos[2]) if len(_pos) > 2 else 15
 # comma-separated prefix list (e.g. "-1,1,2"); each prefix compiles a big
 # graph over the tunnel, so splitting across runs dodges wall-clock limits
-PREFIXES = (tuple(int(s) for s in sys.argv[4].split(","))
-            if len(sys.argv) > 4 and not sys.argv[4].startswith("-""-")
-            else (-1, 1, 2, 3, 4, 5))
+PREFIXES = (tuple(int(s) for s in _pos[3].split(","))
+            if len(_pos) > 3 else (-1, 1, 2, 3, 4, 5))
 USE_PALLAS = "--no-pallas" not in sys.argv
 
 
@@ -54,8 +54,8 @@ def main():
         jax.random.key(1), jax.random.key(2))
 
     def make_prefix(stages):
-        """stages: -1 = prior+flow only; 0..4 = + that many decoder stages;
-        5 = full pipeline incl. conv_post."""
+        """stages: -1 = prior+flow only; 1..4 = + that many decoder stages
+        (4 stops before conv_post); 5 = full pipeline incl. conv_post."""
         @jax.jit
         def f(params, mel, lens, rng):
             def prior_latent(n, mel, lens, rng):

@@ -114,6 +114,20 @@ class BucketedLoader:
         batches = list(iter(self.sampler))[skip:]
         q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []
+        stop = threading.Event()  # consumer gone: unblock + drain the producer
+
+        def put(item) -> bool:
+            """q.put that aborts when the consumer abandoned the iterator --
+            a plain blocking put would leave this thread pinned on a full
+            queue forever (one leaked thread + prefetch batches per
+            abandonment; _evaluate abandons an iterator every eval)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -137,24 +151,34 @@ class BucketedLoader:
                 for _ in range(self.prefetch + 1):
                     if not submit_next():
                         break
-                while pending:
+                while pending and not stop.is_set():
                     idxs, futs = pending.popleft()
                     items = [f.result() for f in futs]
                     frames = self.sampler.bucket_boundary(idxs)
-                    q.put(pad_to_bucket(items, frames, self.hop, self.with_sid))
+                    if not put(pad_to_bucket(items, frames, self.hop, self.with_sid)):
+                        break
                     submit_next()
+                for _, futs in pending:  # consume abandoned futures
+                    for f in futs:
+                        f.cancel()
             except BaseException as e:  # surfaced in the consumer
                 err.append(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            # Runs on GeneratorExit too (break / next(iter(...)) patterns):
+            # release the producer and let it wind down.
+            stop.set()
+            t.join(timeout=5.0)

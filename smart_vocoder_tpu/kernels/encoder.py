@@ -39,6 +39,7 @@ def enc_p_apply(
     use_pallas: bool = True,
     interpret: bool = False,
     dtype=jnp.bfloat16,
+    wn_kwargs: dict | None = None,
 ):
     """Mel prior network over folded params: (m_p, logs_p).
 
@@ -52,7 +53,8 @@ def enc_p_apply(
     x = x * mask
     layers = wn_layers_from_params(params_enc_p["encoder"], n_layers)
     if use_pallas:
-        x = fused_wn_stack(x, x_mask, layers, hidden, interpret=interpret)
+        x = fused_wn_stack(x, x_mask, layers, hidden, interpret=interpret,
+                           **(wn_kwargs or {}))
     else:
         x = _wn_stack_xla(x, mask, layers, hidden, dtype)
     stats = _matmul_1x1(x, params_enc_p["proj"]["weight"],
@@ -71,6 +73,7 @@ def flow_reverse_apply(
     use_pallas: bool = True,
     interpret: bool = False,
     dtype=jnp.bfloat16,
+    wn_kwargs: dict | None = None,
 ):
     """Reverse residual-coupling flow z_p -> z over folded params.
 
@@ -88,7 +91,8 @@ def flow_reverse_apply(
         h = _matmul_1x1(x0, p["pre"]["weight"], p["pre"]["bias"], dtype) * mask
         layers = wn_layers_from_params(p["enc"], n_layers)
         if use_pallas:
-            h = fused_wn_stack(h, x_mask, layers, hidden, interpret=interpret)
+            h = fused_wn_stack(h, x_mask, layers, hidden, interpret=interpret,
+                               **(wn_kwargs or {}))
         else:
             h = _wn_stack_xla(h, mask, layers, hidden, dtype)
         m = _matmul_1x1(h, p["post"]["weight"], p["post"]["bias"], dtype) * mask

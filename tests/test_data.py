@@ -157,3 +157,34 @@ class TestLoader:
             shapes.add(batch.spec.shape[1])
         assert shapes <= {100, 300}
         assert len(shapes) == 2
+
+
+class TestLoaderAbandonment:
+    def test_abandoned_iterator_releases_producer_thread(self, tmp_path):
+        """next(iter(loader)) then dropping the iterator (the _evaluate
+        pattern) must not leave the producer thread blocked on a full queue."""
+        import gc
+        import threading
+        import time
+
+        filelist = write_wavs(str(tmp_path), [40, 50, 60, 200, 210, 220] * 3)
+        ds = AudioSpecDataset(filelist, data_hps())
+        sampler = BucketSampler(ds.lengths, batch_size=2, boundaries=[32, 100, 300])
+        sampler.set_epoch(1)
+        loader = BucketedLoader(ds, sampler, num_workers=2, prefetch=2)
+
+        def n_producers():
+            return sum(t.name.startswith("Thread") and t.is_alive()
+                       for t in threading.enumerate())
+
+        base = n_producers()
+        for _ in range(5):
+            it = iter(loader)
+            batch = next(it)
+            assert batch.spec.shape[0] == 2
+            del it, batch
+            gc.collect()  # triggers GeneratorExit -> finally -> stop/join
+        deadline = time.time() + 10
+        while time.time() < deadline and n_producers() > base:
+            time.sleep(0.1)
+        assert n_producers() <= base, "producer threads leaked"

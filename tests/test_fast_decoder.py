@@ -70,3 +70,27 @@ class TestVocoderPallas:
         wa = a.mel_to_wav(mel, seed=3)[0]
         wb = b.mel_to_wav(mel, seed=3)[0]
         np.testing.assert_allclose(wb, wa, atol=5e-4)
+
+
+def test_conv_transpose_packed_matches_polyphase():
+    """The packed-domain transposed conv (measured-and-rejected for serving
+    routing, kept as a building block) is bit-compatible with the polyphase
+    lowering on the ups_3 geometry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smart_vocoder_tpu.kernels.decoder import (
+        _conv_transpose_packed,
+        _conv_transpose_polyphase,
+    )
+
+    cin, cout, k, s, pad, pack = 64, 32, 4, 2, 1, 4
+    w = jax.random.normal(jax.random.key(0), (cin, cout, k), jnp.float32) * 0.1
+    b = jax.random.normal(jax.random.key(1), (cout,), jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.key(2), (2, 96, cin), jnp.float32)
+    want = _conv_transpose_polyphase(x, w, b, k, s, pad, jnp.float32)
+    got = _conv_transpose_packed(x, w, b, k, s, pad, pack, jnp.float32)
+    assert got.shape == want.shape == (2, 192, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
