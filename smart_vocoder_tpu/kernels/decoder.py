@@ -207,25 +207,11 @@ def decoder_apply(
         # conv_post, so the conv_post row of the profile is a real delta
         return x
     x = jax.nn.leaky_relu(x)  # default 0.01 slope (models.py:156)
-    ch = x.shape[-1]
-    pack = max(1, 128 // ch)
-    if use_pallas and pack > 1 and pack * ch % 128 == 0 and x.shape[1] % pack == 0:
-        # Packed-domain conv_post: the unpacked lowering costs 16.2 ms at the
-        # bench shape (honest prefix profile) for 0.004 TFLOP -- pure lane
-        # starvation + a relayout copy of the 524 MB tensor. Packed, it
-        # consumes stage4's kernel-output layout directly (row-major
-        # (B, T/p, p*C)) and reads full 128-lane operands.
-        from smart_vocoder_tpu.nn.conv import pack_conv_weight
-
-        w_hio = jnp.transpose(params_dec["conv_post"]["weight"], (2, 1, 0))
-        wp, lo, hi = pack_conv_weight(w_hio, 1, pack)
-        bsz, t, _ = x.shape
-        xr = x.reshape(bsz, t // pack, pack * ch)
-        y = jax.lax.conv_general_dilated(
-            xr.astype(dtype), wp.astype(dtype), (1,), [(lo, hi)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
-        x = y.reshape(bsz, t, 1)
-    else:
-        x = _conv1d(x, params_dec["conv_post"]["weight"], None, 3, dtype)
+    # conv_post stays on the direct lowering: the honest prefix profile puts
+    # it at 16.2 ms (lane-starved, ~0.004 TFLOP), but a packed-domain XLA
+    # conv here measured 1569x vs 1691x end-to-end same-session -- one more
+    # XLA conv consuming a Pallas output re-triggers the global layout
+    # flip-flop (see the stage-routing comment above). The only layout-inert
+    # fix would be folding conv_post into the stage4 kernel's tail.
+    x = _conv1d(x, params_dec["conv_post"]["weight"], None, 3, dtype)
     return jnp.tanh(x)
