@@ -187,10 +187,19 @@ def decoder_apply(
                     and pack * ch % 128 == 0)
         if (use_pallas and ch <= 32 and lanes_ok
                 and x.shape[1] % (pack // u) == 0):
+            # Final stage: fold the decoder tail (lrelu -> conv_post -> tanh)
+            # into the kernel too -- standalone it costs 16 ms (lane-starved)
+            # and any XLA-conv replacement re-triggers the layout flip-flop.
+            fold_post = (i == len(cfg.upsample_rates) - 1
+                         and max_stages is None)
             x = fused_up_mrf_stage(
                 x, ups["weight"], ups["bias"], k, u, (k - u) // 2,
                 branches, ks, dil, tile=2048, interpret=interpret,
+                post_weight=(params_dec["conv_post"]["weight"]
+                             if fold_post else None),
             )
+            if fold_post:
+                return x  # (B, T*hop, 1) waveform, tanh applied in-kernel
         else:
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u,

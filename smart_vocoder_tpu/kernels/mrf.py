@@ -300,7 +300,8 @@ def fused_mrf_stage_packed(
     return out[:, :tp].reshape(bsz, t, c)
 
 
-def _up_mrf_kernel(layer_meta, up_meta, tile, radius, u_hbm, mask_hbm, *refs):
+def _up_mrf_kernel(layer_meta, up_meta, post_meta, tile, radius,
+                   u_hbm, mask_hbm, *refs):
     """Fused upsample + MRF stage in the packed domain.
 
     Like _mrf_packed_kernel, with a transposed-conv upsampler prepended:
@@ -308,14 +309,23 @@ def _up_mrf_kernel(layer_meta, up_meta, tile, radius, u_hbm, mask_hbm, *refs):
     count/tile geometry as the packed output -- see pack_convtranspose_weight);
     ``x = leaky(u)`` then one packed conv performs the upsampling
     (models.py:147-148 order: lrelu before ups).
-    refs: [wp_up, b_up] + per-branch (wp, bias)*6 + out_ref + u/mask scratch + sems.
+
+    ``post_meta`` (lo, hi) optionally appends the decoder tail
+    lrelu(0.01) -> packed conv_post -> tanh (models.py:156-160) computed on
+    the stage result INCLUDING its halo rows (translation-invariant, so the
+    halo already holds the neighbor context conv_post needs); its packed
+    output occupies the leading lanes of the out block, zero-padded to the
+    block width for lane alignment.
+    refs: [wp_up, b_up] + per-branch (wp, bias)*6 + [wp_post]? + out_ref +
+    u/mask scratch + sems.
     """
     n_w = 2 + sum(len(branch) for branch in layer_meta) * 2
-    w_refs = refs[:n_w]
-    out_ref = refs[n_w]
-    u_vmem = refs[n_w + 1]
-    m_vmem = refs[n_w + 2]
-    sems = refs[n_w + 3]
+    n_post = 1 if post_meta is not None else 0
+    w_refs = refs[: n_w + n_post]
+    out_ref = refs[n_w + n_post]
+    u_vmem = refs[n_w + n_post + 1]
+    m_vmem = refs[n_w + n_post + 2]
+    sems = refs[n_w + n_post + 3]
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -350,7 +360,25 @@ def _up_mrf_kernel(layer_meta, up_meta, tile, radius, u_hbm, mask_hbm, *refs):
             ridx += 2
             xb = xt + xb
         acc = acc + xb.astype(jnp.float32)
-    out_ref[0] = (acc / len(layer_meta)).astype(x.dtype)[radius : radius + tile]
+    result = (acc / len(layer_meta)).astype(x.dtype)
+    if post_meta is None:
+        out_ref[0] = result[radius : radius + tile]
+        return
+
+    # decoder tail: lrelu(0.01) -> conv_post (no bias) -> tanh, consuming the
+    # halo rows as real context (radius >= post halo by construction)
+    lo_p, hi_p = post_meta
+    z = jnp.maximum(result, 0) + jnp.float32(0.01).astype(result.dtype) * jnp.minimum(result, 0)
+    wp_post = w_refs[n_w][...]
+    length = tile
+    accp = jnp.zeros((tile, wp_post.shape[2]), jnp.float32)
+    for i in range(wp_post.shape[0]):
+        accp = accp + jnp.dot(z[radius - lo_p + i : radius - lo_p + i + length],
+                              wp_post[i], preferred_element_type=jnp.float32)
+    y = jnp.tanh(accp).astype(x.dtype)
+    pad_lanes = out_ref.shape[-1] - y.shape[-1]
+    out_ref[0] = jnp.concatenate(
+        [y, jnp.zeros((tile, pad_lanes), x.dtype)], axis=-1)
 
 
 def fused_up_mrf_stage(
@@ -366,12 +394,19 @@ def fused_up_mrf_stage(
     lane_pack: int | None = None,
     tile: int = 1024,
     interpret: bool = False,
+    post_weight: jnp.ndarray | None = None,  # conv_post torch (1, Cout, k)
 ) -> jnp.ndarray:
     """lrelu -> ConvTranspose upsample -> MRF stage, fused per tile in VMEM.
 
     ``u (B, Tu, Cin)`` is the pre-upsample activation; output is
     ``(B, Tu*stride, Cout)``. Saves the XLA upsample op plus one full HBM
     round-trip of the (largest) stage tensor.
+
+    ``post_weight`` additionally folds the decoder tail
+    lrelu(0.01) -> conv_post -> tanh (models.py:156-160) into the kernel and
+    returns the waveform ``(B, Tu*stride, 1)`` instead -- the standalone
+    conv_post costs 16 ms at the bench shape (lane-starved + it re-triggers
+    the XLA layout flip-flop as a Pallas-consuming conv).
     """
     from smart_vocoder_tpu.nn.conv import pack_conv_weight, pack_convtranspose_weight
 
@@ -401,6 +436,13 @@ def fused_up_mrf_stage(
                 branch_halo += max(lo, hi)
         layer_meta.append(metas)
         radius = max(radius, branch_halo)
+
+    post_meta = None
+    if post_weight is not None:
+        w_hio = jnp.transpose(post_weight, (2, 1, 0))  # (k, Cout, 1)
+        wp_post, lo_p, hi_p = pack_conv_weight(w_hio, 1, p)
+        post_meta = (lo_p, hi_p)
+        radius = max(radius, max(lo_p, hi_p))
     radius = -(-radius // 8) * 8
 
     t_pad = -tp % tile
@@ -412,8 +454,12 @@ def fused_up_mrf_stage(
     mask = jnp.zeros((total, 1), u.dtype).at[radius : radius + tp].set(1.0)
     mask = jnp.broadcast_to(mask, (total, p * cout))
 
+    if post_weight is not None:
+        weight_args.append(wp_post.astype(u.dtype))
+
     kernel = functools.partial(
-        _up_mrf_kernel, tuple(map(tuple, layer_meta)), (lo_u, hi_u), tile, radius
+        _up_mrf_kernel, tuple(map(tuple, layer_meta)), (lo_u, hi_u), post_meta,
+        tile, radius,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY)]
@@ -432,6 +478,8 @@ def fused_up_mrf_stage(
         ],
         interpret=interpret,
     )(ur, mask, *weight_args)
+    if post_weight is not None:
+        return out[:, :tp, :p].reshape(bsz, tu * s, 1)
     return out[:, :tp].reshape(bsz, tu * s, cout)
 
 
