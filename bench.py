@@ -47,7 +47,7 @@ def main() -> None:
 
     use_pallas = "--no-pallas" not in sys.argv
     # Fused WN encoder path: opt-in only -- measured SLOWER than XLA's convs
-    # (16.9 vs 14.7 ms for the B=32 prior+flow; see Vocoder.__init__ and
+    # (16.6-18.7 vs 14.7 ms for the B=32 prior+flow; see Vocoder.__init__ and
     # scripts/bench_wn_path.py). End-to-end: 1556x vs 1569x.
     use_pallas_wn = use_pallas and "--pallas-wn" in sys.argv
     # --f32: full-precision serving (quality/speed tradeoff datapoint; the

@@ -51,7 +51,7 @@ class Vocoder:
         self.use_pallas = use_pallas and fold and hps.model.resblock == "1"
         # Fused WN stacks (kernels/encoder.py) are OFF by default: measured on
         # v5e (scripts/bench_wn_path.py, readback-synced) the Pallas path runs
-        # the B=32 x 1000-frame prior+flow in 16.9-19.6 ms across all
+        # the B=32 x 1000-frame prior+flow in 16.6-18.7 ms across all
         # (tile, layers_per_call) configs vs 14.7 ms for XLA's convs -- the
         # pack-2 block-Toeplitz layout inflates MACs ~1.33x (the 1x1 res/skip
         # conv computes its block-diagonal structure densely, 2x) while XLA
