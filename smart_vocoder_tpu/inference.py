@@ -93,17 +93,19 @@ class Vocoder:
 
         shard_map (not pjit partitioning) so every inner op -- including
         pallas_call kernels -- runs per-shard on its local batch slice with
-        no partitioner involvement. The rng is folded with the shard index so
-        sampled prior noise differs per batch element as in the single-chip
-        path (explicit ``eps`` bypasses the fold and is itself sharded)."""
+        no partitioner involvement. Prior noise is derived per GLOBAL batch
+        element (``_batch_eps`` with offset = shard * local_batch), so the
+        same seed produces the same audio regardless of mesh size --
+        bit-compatible with the mesh=None path (explicit ``eps`` bypasses
+        the derivation and is itself sharded)."""
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         def infer(params, mel, lengths, rng, noise_scale, sid=None, eps=None):
             def local(params, mel, lengths, rng, sid, eps):
-                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                offset = jax.lax.axis_index("data") * mel.shape[0]
                 return apply_fn(params, mel, lengths, rng, noise_scale,
-                                sid=sid, eps=eps)
+                                sid=sid, eps=eps, batch_offset=offset)
 
             return shard_map(
                 local, mesh=mesh,
@@ -115,8 +117,22 @@ class Vocoder:
         return jax.jit(infer, static_argnames=("noise_scale",))
 
     @staticmethod
+    def _batch_eps(rng, offset, b, t, c):
+        """Prior noise derived per global batch element: row i draws from
+        ``fold_in(rng, offset + i)``, so the noise a given element sees is
+        independent of mesh topology and batch padding."""
+        idx = offset + jnp.arange(b)
+        return jax.vmap(
+            lambda i: jax.random.normal(jax.random.fold_in(rng, i), (t, c),
+                                        jnp.float32)
+        )(idx)
+
+    @staticmethod
     def _apply_infer(net, params, mel, lengths, rng, noise_scale, sid=None,
-                     eps=None):
+                     eps=None, batch_offset=0):
+        if eps is None:
+            eps = Vocoder._batch_eps(rng, batch_offset, mel.shape[0],
+                                     mel.shape[1], net.inter_channels)
         o, mask, _ = net.apply(
             {"params": params}, mel, lengths, rng,
             sid=sid, noise_scale=noise_scale, eps=eps, method=SynthesizerTrn.infer,
@@ -125,7 +141,8 @@ class Vocoder:
 
     @staticmethod
     def _apply_infer_fast(net, dec_cfg, dtype, use_pallas_wn, params, mel,
-                          lengths, rng, noise_scale, sid=None, eps=None):
+                          lengths, rng, noise_scale, sid=None, eps=None,
+                          batch_offset=0):
         """Prior + reverse flow through the fused-WN functional path
         (kernels/encoder.py), decoder through the fused MRF fast path
         (kernels/decoder.py); either piece falls back to the module graph
@@ -134,12 +151,12 @@ class Vocoder:
 
         interpret = jax.default_backend() != "tpu"  # CPU runs the interpreter
         conditioned = net.use_spk_embed and sid is not None
+        if eps is None:
+            eps = Vocoder._batch_eps(rng, batch_offset, mel.shape[0],
+                                     mel.shape[1], net.inter_channels)
 
         if use_pallas_wn and not conditioned:
             mask = sequence_mask(lengths, mel.shape[1]).astype(dtype)
-            if eps is None:
-                eps = jax.random.normal(
-                    rng, (*mel.shape[:2], net.inter_channels), jnp.float32)
             from smart_vocoder_tpu.kernels.encoder import prior_flow_apply
 
             z = prior_flow_apply(
@@ -229,8 +246,12 @@ class Vocoder:
     ) -> list[np.ndarray]:
         """mel (B, T, n_mels) -> list of B float32 waveforms (true lengths).
 
-        ``eps`` optionally pins the prior noise (B, T, inter_channels);
-        padded with zeros to the bucket boundary like the mel."""
+        ``seed`` pins the prior noise per batch element (row i draws from
+        ``fold_in(key(seed), i)``), independent of mesh topology and batch
+        padding -- the same (mel, seed) yields the same audio on mesh=None
+        and any data-mesh size. ``eps`` optionally pins the noise explicitly
+        (B, T, inter_channels); padded with zeros to the bucket boundary
+        like the mel."""
         mel = np.asarray(mel, np.float32)
         b, t, _ = mel.shape
         if lengths is None:

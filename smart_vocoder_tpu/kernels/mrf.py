@@ -372,9 +372,9 @@ def _up_mrf_kernel(layer_meta, up_meta, post_meta, tile, radius,
     wp_post = w_refs[n_w][...]
     length = tile
     accp = jnp.zeros((tile, wp_post.shape[2]), jnp.float32)
-    for i in range(wp_post.shape[0]):
-        accp = accp + jnp.dot(z[radius - lo_p + i : radius - lo_p + i + length],
-                              wp_post[i], preferred_element_type=jnp.float32)
+    for tap in range(wp_post.shape[0]):
+        accp = accp + jnp.dot(z[radius - lo_p + tap : radius - lo_p + tap + length],
+                              wp_post[tap], preferred_element_type=jnp.float32)
     y = jnp.tanh(accp).astype(x.dtype)
     pad_lanes = out_ref.shape[-1] - y.shape[-1]
     out_ref[0] = jnp.concatenate(
@@ -442,8 +442,16 @@ def fused_up_mrf_stage(
         w_hio = jnp.transpose(post_weight, (2, 1, 0))  # (k, Cout, 1)
         wp_post, lo_p, hi_p = pack_conv_weight(w_hio, 1, p)
         post_meta = (lo_p, hi_p)
-        radius = max(radius, max(lo_p, hi_p))
+        # conv_post reads stage-result halo rows [radius-lo_p, radius+tile+hi_p);
+        # those rows are exact stage outputs only if the branch chain had its own
+        # full halo beneath them, so the post halo must ADD to the branch halo
+        # (max() alone would let block-edge zero padding leak into conv_post
+        # whenever the branch halo landed on a multiple of the 8-row round-up).
+        max_branch_halo = radius
+        radius = max_branch_halo + max(lo_p, hi_p)
     radius = -(-radius // 8) * 8
+    if post_meta is not None:
+        assert radius - max_branch_halo >= max(post_meta), (radius, max_branch_halo, post_meta)
 
     t_pad = -tp % tile
     ur = u.reshape(bsz, tp, ps * cin)

@@ -303,10 +303,13 @@ class SynthesizerTrn(nn.Module):
         noise_scale: float = 1.0,
         max_len: Optional[int] = None,
         eps: jnp.ndarray | None = None,
+        noise_scale_w: float = 0.8,
+        length_scale: float = 1.0,
     ):
         """Sampling path (ref: models.py:331-339). ``noise_scale_w`` and
-        ``length_scale`` from the reference signature are accepted-but-unused
-        there (no duration predictor remains) and therefore omitted.
+        ``length_scale`` are accepted-but-unused exactly as in the reference
+        signature (no duration predictor remains, models.py:331-339) so
+        callers ported verbatim from the notebook keep working.
 
         ``eps`` optionally supplies the prior noise (B, T, inter_channels)
         explicitly -- chunked long-form inference passes absolute-position

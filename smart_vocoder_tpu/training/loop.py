@@ -164,10 +164,23 @@ def run(hps, max_steps: Optional[int] = None) -> None:
                 logger.info("Train Epoch: %d [%.0f%%]", epoch,
                             100.0 * batch_idx / max(1, len(train_loader)))
                 logger.info([float(x) for x in losses] + [global_step, lr])
-                scalars = {k: float(v) for k, v in metrics.items()}
+                scalars = {k: float(v) for k, v in metrics.items()
+                           if not k.startswith("image/")}
                 scalars["learning_rate"] = lr
                 scalars.update(timer.metrics(samples_per_step))
-                logging_utils.summarize(writer, global_step, scalars=scalars)
+                # training-health mel images under the reference's TB names
+                # (train.py:230-239); arrays are (T, n_mels), plotted (C, T)
+                images = {
+                    name: logging_utils.plot_spectrogram_to_numpy(
+                        np.asarray(metrics[key], np.float32).T)
+                    for name, key in (
+                        ("slice/mel_org", "image/slice_mel_org"),
+                        ("slice/mel_gen", "image/slice_mel_gen"),
+                        ("all/mel", "image/all_mel"),
+                    )
+                }
+                logging_utils.summarize(writer, global_step, scalars=scalars,
+                                        images=images)
 
             if global_step % hps.train.eval_interval == 0 and global_step != last_saved_step:
                 if is_chief:

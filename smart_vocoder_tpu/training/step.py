@@ -170,10 +170,10 @@ def make_train_step(
             loss_gen, losses_gen = losses_lib.generator_loss(y_d_hat_g)
             loss_gen_all = loss_gen + loss_fm + loss_mel + loss_kl
             return loss_gen_all, (loss_gen, losses_gen, loss_fm, loss_mel,
-                                  loss_kl, spectral_new)
+                                  loss_kl, spectral_new, y_hat_mel)
 
         (loss_gen_all, (loss_gen, losses_gen, loss_fm, loss_mel, loss_kl,
-                        spectral_d)), cotangents = (
+                        spectral_d, y_hat_mel)), cotangents = (
             jax.value_and_grad(loss_from_outputs, has_aux=True)(g_out)
         )
         (grads_g,) = g_vjp(cotangents)
@@ -206,6 +206,13 @@ def make_train_step(
             metrics[f"loss/d_r/{i}"] = v
         for i, v in enumerate(losses_disc_g):
             metrics[f"loss/d_g/{i}"] = v
+        # Training-health mel images (first batch element), logged by the loop
+        # every log_interval under the reference's TB names (train.py:230-239).
+        # These are slices of tensors the step already computes (y_mel /
+        # y_hat_mel feed the mel loss) -- fetched lazily only at log time.
+        metrics["image/slice_mel_org"] = y_mel[0].astype(jnp.float32)
+        metrics["image/slice_mel_gen"] = y_hat_mel[0].astype(jnp.float32)
+        metrics["image/all_mel"] = mel[0].astype(jnp.float32)
         return new_state, metrics
 
     return train_step

@@ -87,8 +87,16 @@ def test_train_loop_end_to_end(tmp_path):
     assert "Train Epoch" in open(log_path).read()
 
     # TB event files written (train + eval)
-    assert any(f.startswith("events") for f in os.listdir(hps.model_dir))
+    event_files = [f for f in os.listdir(hps.model_dir) if f.startswith("events")]
+    assert event_files
     assert os.path.isdir(os.path.join(hps.model_dir, "eval"))
+    # training-loop mel images logged under the reference TB names
+    # (train.py:230-239); tags are embedded verbatim in the event protobufs
+    blob = b"".join(
+        open(os.path.join(hps.model_dir, f), "rb").read() for f in event_files
+    )
+    for tag in (b"slice/mel_org", b"slice/mel_gen", b"all/mel"):
+        assert tag in blob, tag
 
     # orbax checkpoint exists
     ckpt_dir = os.path.join(hps.model_dir, "checkpoints")

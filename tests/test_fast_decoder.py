@@ -72,6 +72,50 @@ class TestVocoderPallas:
         np.testing.assert_allclose(wb, wa, atol=5e-4)
 
 
+def test_fold_post_multi_tile_seams():
+    """fused_up_mrf_stage with the conv_post tail folded in, forced to n_tiles>1
+    (small tile override) so conv_post consumes halo rows across tile seams.
+    Guards the additive branch+post radius computation (kernels/mrf.py): with a
+    max()-based radius, block-edge zero padding would leak into conv_post at
+    every tile*pack samples."""
+    from smart_vocoder_tpu.kernels.decoder import _conv1d, _conv_transpose_polyphase
+    from smart_vocoder_tpu.kernels.mrf import fused_up_mrf_stage, mrf_stage_reference
+
+    rng = np.random.default_rng(7)
+    cin, cout, k, s, pad = 64, 32, 4, 2, 1
+    ks, dil = (3, 7, 11), (1, 3, 5)
+    tu = 128  # ps = pack/s = 2 -> tp = 64; tile=16 -> 4 tiles
+
+    def r(*shape, scale=0.1):
+        return jnp.asarray(rng.normal(0, scale, shape), jnp.float32)
+
+    up_w = r(cin, cout, k)          # torch ConvTranspose layout (Cin, Cout, k)
+    up_b = r(cout)
+    branches = [
+        (jnp.stack([r(kk, cout, cout) for _ in dil]), jnp.stack([r(cout) for _ in dil]),
+         jnp.stack([r(kk, cout, cout) for _ in dil]), jnp.stack([r(cout) for _ in dil]))
+        for kk in ks
+    ]
+    post_w = r(1, cout, 7)          # conv_post torch layout (1, Cout, k)
+    x = r(2, tu, cin, scale=0.5)
+
+    got = fused_up_mrf_stage(
+        x, up_w, up_b, k, s, pad, branches, ks, dil,
+        tile=16, interpret=True, post_weight=post_w,
+    )
+
+    y = jax.nn.leaky_relu(x, 0.1)
+    y = _conv_transpose_polyphase(y, up_w, up_b, k, s, pad, jnp.float32)
+    y = mrf_stage_reference(y, branches, ks, dil)
+    y = jax.nn.leaky_relu(y)  # 0.01 slope, matching the kernel tail
+    y = _conv1d(y, post_w, None, 3, jnp.float32)
+    want = jnp.tanh(y)
+
+    assert got.shape == want.shape == (2, tu * s, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_conv_transpose_packed_matches_polyphase():
     """The packed-domain transposed conv (measured-and-rejected for serving
     routing, kept as a building block) is bit-compatible with the polyphase

@@ -129,6 +129,24 @@ class TestVocoderAPI:
         np.testing.assert_allclose(wa, wb, atol=2e-5)
 
 
+    def test_infer_accepts_reference_kwargs(self, tmp_path):
+        """The reference signature's accepted-but-unused noise_scale_w /
+        length_scale kwargs (ref models.py:331-339) must not crash a caller
+        ported verbatim from the notebook, and must not change the output."""
+        from smart_vocoder_tpu.models import build_synthesizer
+
+        hps, params = tiny_vocoder(tmp_path)
+        net = build_synthesizer(hps)
+        mel = jnp.zeros((1, 64, 80)) - 4.0
+        lens = jnp.full((1,), 64, jnp.int32)
+        a = net.apply({"params": params}, mel, lens, jax.random.key(0),
+                      noise_scale=0.667, noise_scale_w=0.8, length_scale=1,
+                      method=SynthesizerTrn.infer)[0]
+        b = net.apply({"params": params}, mel, lens, jax.random.key(0),
+                      noise_scale=0.667, method=SynthesizerTrn.infer)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestChunkedNoiseConsistency:
     def test_chunk_size_invariance_with_noise(self, tmp_path):
         """With noise_scale > 0 the prior noise is one full-length field

@@ -47,7 +47,7 @@ class TestDataParallel:
         jax.block_until_ready(new_state)
 
         for k, v in metrics_8.items():
-            assert np.isfinite(float(v)), k
+            assert np.all(np.isfinite(np.asarray(v))), k
         for k in ("loss/g/total", "loss/d/total", "loss/g/mel", "loss/g/kl"):
             a, b = float(metrics_1[k]), float(metrics_8[k])
             assert abs(a - b) / max(abs(a), 1e-6) < 5e-3, (k, a, b)
@@ -120,3 +120,14 @@ class TestDataParallelServing:
             assert len(got) == b
             for w, g_ in zip(want, got):
                 np.testing.assert_allclose(g_, w, rtol=2e-5, atol=2e-5)
+
+        # seed-pinned noise is topology-independent: same seed with NO explicit
+        # eps gives the same audio on mesh=None and the 8-way mesh, including a
+        # padded (non-tiling) batch -- _batch_eps derives noise per global
+        # batch element, never from the shard index.
+        mel = rng.normal(-4, 2, size=(5, 50, 80)).astype(np.float32)
+        lengths = np.arange(40, 45)
+        want = voc1.mel_to_wav(mel, lengths, seed=11)
+        got = voc8.mel_to_wav(mel, lengths, seed=11)
+        for w, g_ in zip(want, got):
+            np.testing.assert_allclose(g_, w, rtol=2e-5, atol=2e-5)

@@ -105,8 +105,13 @@ class TestTrainStep:
         assert expected <= set(metrics)
         # per-discriminator scalars: 6 discriminators
         assert sum(k.startswith("loss/d_r/") for k in metrics) == 6
+        # training-health mel images for the TB dashboard (train.py:230-239)
+        seg_frames = hps.train.segment_size // hps.data.hop_length
+        assert metrics["image/slice_mel_org"].shape == (seg_frames, 80)
+        assert metrics["image/slice_mel_gen"].shape == (seg_frames, 80)
+        assert metrics["image/all_mel"].shape[-1] == 80
         for k, v in metrics.items():
-            assert np.isfinite(float(v)), f"{k} not finite"
+            assert np.all(np.isfinite(np.asarray(v))), f"{k} not finite"
         assert float(metrics["grad_norm_g"]) > 0
         assert float(metrics["grad_norm_d"]) > 0
 
