@@ -53,6 +53,13 @@ def main() -> None:
     # --f32: full-precision serving (quality/speed tradeoff datapoint; the
     # bf16 default's deviation from f32 is the mel_l1_serving number below).
     dtype = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16
+    # Headline config (round 3): the serving-fidelity path -- bf16 everywhere
+    # EXCEPT the two waveform-adjacent decoder stages (f32 activations; the
+    # final stage also uses 2-pass hi/lo bf16 matmuls; kernels/mrf.py hifi) --
+    # the one configuration that meets BOTH targets: mel-L1 <= 1e-2 on the
+    # exact timed path AND >= 1500x RT. --fast drops the fidelity islands and
+    # times the pure-bf16 path (its RTF is also always reported below).
+    hifi = use_pallas and dtype == jnp.bfloat16 and "--fast" not in sys.argv
     net = build_synthesizer(hps, dtype=dtype, weight_norm=False)
     mel = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, hps.data.n_mel_channels)) * 2.0 - 4.0
     lens = jnp.full((BATCH,), FRAMES, jnp.int32)
@@ -69,7 +76,7 @@ def main() -> None:
 
     dec_cfg = DecoderConfig.from_hparams(hps)
 
-    def make_synth(pallas: bool, pallas_wn: bool = False):
+    def make_synth(pallas: bool, pallas_wn: bool = False, hifi_tail: bool = False):
         @jax.jit
         def synth(params, mel, lens, rng):
             if pallas:
@@ -90,7 +97,7 @@ def main() -> None:
 
                     z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
                 wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True,
-                                    dtype=dtype)
+                                    dtype=dtype, hifi_tail=hifi_tail)
             else:
                 wav, _, _ = net.apply(
                     {"params": params}, mel, lens, rng,
@@ -102,7 +109,7 @@ def main() -> None:
             return wav, jnp.sum(wav.astype(jnp.float32))
         return synth
 
-    synth = make_synth(use_pallas, use_pallas_wn)
+    synth = make_synth(use_pallas, use_pallas_wn, hifi_tail=hifi)
 
     rng = jax.random.key(3)
     t0 = time.time()
@@ -119,25 +126,35 @@ def main() -> None:
     log(f"first compile+run: {time.time() - t0:.1f}s; out {out.shape} {out.dtype} "
         f"checksum {chk_val:.3f}")
 
-    for i in range(WARMUP):
-        out, chk = synth(params, mel, lens, jax.random.fold_in(rng, i))
-    float(chk)
+    def timed(synth_fn):
+        for i in range(WARMUP):
+            out, chk = synth_fn(params, mel, lens, jax.random.fold_in(rng, i))
+        float(chk)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            out, chk = synth_fn(params, mel, lens, jax.random.fold_in(rng, 100 + i))
+        checksum = float(chk)  # host readback == all ITERS steps completed
+        return (time.perf_counter() - t0) / ITERS, checksum
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        out, chk = synth(params, mel, lens, jax.random.fold_in(rng, 100 + i))
-    checksum = float(chk)  # host readback == all ITERS steps completed
-    dt = (time.perf_counter() - t0) / ITERS
+    dt, checksum = timed(synth)
     log(f"checksum {checksum:.3f}")
 
     audio_seconds = BATCH * FRAMES * hop / sr
     rtf = audio_seconds / dt
     log(f"{dt*1e3:.2f} ms/step for {audio_seconds:.1f}s audio "
-        f"({BATCH}x{FRAMES} frames); samples/sec/chip {BATCH*FRAMES*hop/dt:,.0f}")
+        f"({BATCH}x{FRAMES} frames); samples/sec/chip {BATCH*FRAMES*hop/dt:,.0f}"
+        + (" [serving-fidelity config]" if hifi else ""))
+
+    rtf_fast = None
+    if hifi:
+        # max-throughput datapoint: same path minus the fidelity islands
+        dt_fast, _ = timed(make_synth(use_pallas, use_pallas_wn, hifi_tail=False))
+        rtf_fast = audio_seconds / dt_fast
+        log(f"fast bf16 path: {dt_fast*1e3:.2f} ms/step = {rtf_fast:.0f}x RT")
 
     mel_l1, mel_l1_serving = fidelity_vs_reference(
         hps, net, params, synth_path_pallas=use_pallas, pallas_wn=use_pallas_wn,
-        dtype=dtype)
+        dtype=dtype, hifi=hifi)
 
     result = {
         "metric": "rtf_22k05_synthesis",
@@ -148,13 +165,16 @@ def main() -> None:
     if mel_l1 is not None:
         result["mel_l1_vs_reference"] = round(mel_l1, 5)
         result["fidelity_target"] = 1e-2
-        suffix = "f32" if dtype == jnp.float32 else "bf16"
+        suffix = ("hifi" if hifi else "f32" if dtype == jnp.float32 else "bf16")
+        # mel-L1 of the EXACT path the headline timed
         result[f"mel_l1_serving_{suffix}"] = round(mel_l1_serving, 5)
+    if rtf_fast is not None:
+        result["rtf_fast_bf16"] = round(rtf_fast, 2)
     print(json.dumps(result))
 
 
 def fidelity_vs_reference(hps, net, params, synth_path_pallas: bool,
-                          pallas_wn: bool, dtype=jnp.bfloat16):
+                          pallas_wn: bool, dtype=jnp.bfloat16, hifi: bool = False):
     """mel-L1 vs the committed torch-reference golden, computed on-device.
 
     The fixture (scripts/make_golden.py) pins weights (the same recipe as
@@ -222,7 +242,7 @@ def fidelity_vs_reference(hps, net, params, synth_path_pallas: bool,
                 z = net.apply({"params": params}, gmel, glens, geps,
                               method=prior_latent)
             wav = decoder_apply(params["dec"], z, DecoderConfig.from_hparams(hps),
-                                use_pallas=True, dtype=dtype)
+                                use_pallas=True, dtype=dtype, hifi_tail=hifi)
         else:
             wav, _, _ = net.apply(
                 {"params": params}, gmel, glens, jax.random.key(0),

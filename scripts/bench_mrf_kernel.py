@@ -24,6 +24,7 @@ from smart_vocoder_tpu.kernels import (
     fused_mrf_stage_packed,
     mrf_stage_reference,
 )
+from smart_vocoder_tpu.kernels.mrf import fused_mrf_stage
 
 SHAPES = {1: (8000, 256), 2: (64000, 128), 3: (128000, 64), 4: (256000, 32)}
 KS = (3, 7, 11)
@@ -85,6 +86,18 @@ def main():
         except Exception as e:
             print(f"packed tile={tile:5d}: FAILED {type(e).__name__}: {e}",
                   flush=True)
+    if c >= 128:
+        # pack=1 stages (c>=128): the UNPACKED kernel has zero Toeplitz
+        # inflation (direct dilated taps at full lane width)
+        for tile in tiles:
+            try:
+                ms, cs, chk = timeit(lambda x, br, tile=tile:
+                                     fused_mrf_stage(x, br, KS, tile=tile))
+                print(f"unpack tile={tile:5d}: {ms:8.2f} ms  (compile {cs:.0f}s, "
+                      f"chk {chk:.0f})", flush=True)
+            except Exception as e:
+                print(f"unpack tile={tile:5d}: FAILED {type(e).__name__}: {e}",
+                      flush=True)
 
 
 if __name__ == "__main__":

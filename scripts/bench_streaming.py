@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Streaming/live-TTS operating-point bench: first-audio latency vs RTF.
+
+stream_mel_to_wav emits its first audio once chunk-overlap frames are
+buffered; smaller chunks cut latency but decode each frame up to
+chunk/(chunk-2*overlap) times (window redundancy) and run the TPU at B=1 on
+short sequences (launch-overhead-bound). This prints a table of operating
+points for the full-size model; docs/ARCHITECTURE.md carries the recommended
+live-serving config.
+
+Latency model per row:
+  buffer_ms  = (chunk - overlap) * hop / sr * 1000   (frames to first window)
+  compute_ms = measured wall time of one window decode (B=1, `chunk` frames)
+  first_audio_ms = buffer_ms + compute_ms  (mel arrives in real time)
+  rtf_steady = step*hop/sr / per-window wall  (throughput while streaming)
+
+Usage: python scripts/bench_streaming.py [iters]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smart_vocoder_tpu.config import load_config
+from smart_vocoder_tpu.inference import Vocoder
+
+ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+POINTS = [(1024, 128), (512, 128), (384, 96), (256, 96), (224, 96)]
+
+
+def main():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hps = load_config(os.path.join(root, "configs", "iitp_base.json"))
+    sr, hop = hps.data.sampling_rate, hps.data.hop_length
+
+    from smart_vocoder_tpu.models import build_synthesizer
+    from smart_vocoder_tpu.utils.golden import fidelity_params
+
+    t0c = 64
+    mel0 = jnp.zeros((1, t0c, 80))
+    spec0 = jnp.zeros((1, t0c, 513))
+    lens0 = jnp.full((1,), t0c, jnp.int32)
+    params = fidelity_params(hps, mel0, lens0, spec0)
+
+    chunks = sorted({c for c, _ in POINTS})
+    # fidelity_params are already folded; fold_weight_norm is idempotent on
+    # plain weights, so fold=True just builds the weight_norm=False net
+    voc = Vocoder(hps, params, dtype=jnp.bfloat16, buckets=tuple(chunks),
+                  fold=True, use_pallas=True)
+
+    rng = np.random.default_rng(0)
+    print(f"{'chunk':>6} {'ovl':>4} {'step':>5} {'buffer_ms':>10} "
+          f"{'compute_ms':>11} {'first_ms':>9} {'rtf_steady':>10} {'redund':>7}",
+          flush=True)
+    for chunk, overlap in POINTS:
+        step = chunk - 2 * overlap
+        mel = rng.normal(-4, 2, (chunk, 80)).astype(np.float32)
+        # one compiled program per chunk size; warm it
+        _ = voc._synth_window(mel, 0, chunk, 0.667, None, 0)
+        for i in range(3):
+            _ = voc._synth_window(mel + i * 1e-3, 0, chunk, 0.667, None, i)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            w = voc._synth_window(mel + (100 + i) * 1e-3, i, chunk, 0.667,
+                                  None, i)
+        # _synth_window -> mel_to_wav does a real device_get (host barrier)
+        wall = (time.perf_counter() - t0) / ITERS
+        buffer_ms = (chunk - overlap) * hop / sr * 1e3
+        compute_ms = wall * 1e3
+        rtf = (step * hop / sr) / wall
+        redund = chunk / step
+        print(f"{chunk:>6} {overlap:>4} {step:>5} {buffer_ms:>10.0f} "
+              f"{compute_ms:>11.1f} {buffer_ms + compute_ms:>9.0f} "
+              f"{rtf:>10.0f} {redund:>7.1f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

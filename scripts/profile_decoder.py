@@ -37,6 +37,7 @@ ITERS = int(_pos[2]) if len(_pos) > 2 else 15
 PREFIXES = (tuple(int(s) for s in _pos[3].split(","))
             if len(_pos) > 3 else (-1, 1, 2, 3, 4, 5))
 USE_PALLAS = "--no-pallas" not in sys.argv
+HIFI = "--hifi" in sys.argv  # serving-fidelity islands (stages 3+4, kernels/mrf.py)
 
 
 def main():
@@ -68,7 +69,8 @@ def main():
             if stages == -1:
                 return jnp.sum(z.astype(jnp.float32))
             out = decoder_apply(params["dec"], z, dec_cfg, use_pallas=USE_PALLAS,
-                                max_stages=None if stages >= 5 else stages)
+                                max_stages=None if stages >= 5 else stages,
+                                hifi_tail=HIFI)
             return jnp.sum(out.astype(jnp.float32))
         return f
 

@@ -104,6 +104,68 @@ def main():
         jax.grad(d_fwd)(state.params_d, rng)["discriminators_0"]["convs_0"]["bias"]
         .astype(jnp.float32))), "D forward+backward")
 
+    # ---- sub-phase rows (VERDICT r2 item 4): where the G forward/backward
+    # time goes. Full-length WN stacks (enc_p/enc_q/flow) vs the 32-frame
+    # sliced decoder vs the in-loss STFT/mel.
+    params_g = state.params_g
+
+    def sub(label, fn, wrt="enc_p"):
+        """fn(params, rng) -> array; time fwd and fwd+bwd."""
+        timeit(jax.jit(lambda rng: jnp.sum(fn(params_g, rng).astype(jnp.float32))),
+               f"{label} fwd")
+        timeit(jax.jit(lambda rng: jnp.sum(jax.tree.leaves(
+            jax.grad(lambda p, r: jnp.sum(fn(p, r).astype(jnp.float32)))(params_g, rng)[wrt]
+        )[0].astype(jnp.float32))), f"{label} fwd+bwd")
+
+    def enc_p_fn(p, rng):
+        return net_g.apply({"params": p}, mel, b.spec_lengths,
+                           method=lambda n, m, l: n.enc_p(m, l)[1])
+
+    def enc_q_fn(p, rng):
+        return net_g.apply(
+            {"params": p}, b.spec, b.spec_lengths, rng,
+            method=lambda n, s, l, r: n.enc_q(s, l, r, g=None)[0])
+
+    z0 = jax.random.normal(jax.random.key(9),
+                           (BATCH, FRAMES, hps.model.inter_channels), dtype)
+    mask1 = jnp.ones((BATCH, FRAMES, 1), dtype)
+
+    def flow_fn(p, rng):
+        z = z0 + jax.random.normal(rng, z0.shape, dtype) * 0.01
+        return net_g.apply({"params": p}, z, mask1,
+                           method=lambda n, z, m: n.flow(z, m, g=None))
+
+    zs = jax.random.normal(jax.random.key(10),
+                           (BATCH, seg // hop, hps.model.inter_channels), dtype)
+
+    def dec_fn(p, rng):
+        z = zs + jax.random.normal(rng, zs.shape, dtype) * 0.01
+        return net_g.apply({"params": p}, z,
+                           method=lambda n, z: n.dec(z, g=None))
+
+    sub("enc_p (mel->prior)", enc_p_fn, "enc_p")
+    sub("enc_q (spec->z)", enc_q_fn, "enc_q")
+    sub("flow (fwd dir)", flow_fn, "flow")
+    sub("dec (32-frame slice)", dec_fn, "dec")
+
+    from smart_vocoder_tpu.ops import mel_spectrogram
+
+    def stft_fn(rng):
+        w = jax.random.uniform(rng, (BATCH, seg), jnp.float32, -0.5, 0.5)
+        return jnp.sum(mel_spectrogram(w, mel_cfg).astype(jnp.float32))
+
+    timeit(jax.jit(stft_fn), "mel_spectrogram(y_hat)")
+    timeit(jax.jit(lambda rng: jnp.sum(jax.grad(
+        lambda w: jnp.sum(mel_spectrogram(w, mel_cfg).astype(jnp.float32))
+    )(jax.random.uniform(rng, (BATCH, seg), jnp.float32, -0.5, 0.5))
+        .astype(jnp.float32))), "mel_spectrogram fwd+bwd")
+
+    def spec2mel_fn(rng):
+        s = jax.random.uniform(rng, (BATCH, FRAMES, 513), jnp.float32, 0.0, 2.0)
+        return jnp.sum(spec_to_mel(s, mel_cfg).astype(jnp.float32))
+
+    timeit(jax.jit(spec2mel_fn), "spec_to_mel(full)")
+
 
 if __name__ == "__main__":
     main()

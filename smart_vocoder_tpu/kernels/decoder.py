@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from smart_vocoder_tpu.kernels.mrf import (
+    fused_mrf_stage,
     fused_mrf_stage_packed,
     fused_up_mrf_stage,
     mrf_stage_reference,
@@ -136,11 +137,18 @@ def decoder_apply(
     interpret: bool = False,
     dtype=jnp.bfloat16,
     max_stages: int | None = None,
+    pallas_stage2: bool = False,
+    hifi_tail: bool = False,
 ) -> jnp.ndarray:
     """Folded dec params + latent (B, T, C) -> waveform (B, T*hop, 1).
 
     ``max_stages`` truncates the pipeline after N upsample+MRF stages
-    (skipping conv_post) -- profiling aid for per-stage prefix timing."""
+    (skipping conv_post) -- profiling aid for per-stage prefix timing.
+
+    ``hifi_tail`` runs the final (waveform-adjacent) fused stage + conv_post
+    tail at serving-fidelity precision (f32 activations, 2-pass bf16 matmuls,
+    f32 waveform out; kernels/mrf.py hifi mode) -- the minimal f32 island
+    that brings the bf16 serving path's mel-L1 under the 1e-2 target."""
     assert cfg.resblock == "1", "fast decoder supports ResBlock1 configs"
     num_kernels = len(cfg.resblock_kernel_sizes)
     ks = tuple(cfg.resblock_kernel_sizes)
@@ -185,7 +193,13 @@ def decoder_apply(
         lanes_ok = (pack % u == 0
                     and (pack // u) * x.shape[-1] % 128 == 0
                     and pack * ch % 128 == 0)
-        if (use_pallas and ch <= 32 and lanes_ok
+        # Experimental stages-2..4-contiguous-Pallas routing (pallas_stage2):
+        # the ch=128 stage runs the UNPACKED fused MRF kernel (pack=1 => no
+        # Toeplitz inflation) after its XLA upsample, and the ch=64 stage can
+        # then fold ITS upsample into the packed kernel (fused_up) because its
+        # input is a Pallas producer (no XLA layout flip-flop risk).
+        fold_up = ch <= 32 or (pallas_stage2 and ch <= 64)
+        if (use_pallas and fold_up and lanes_ok
                 and x.shape[1] % (pack // u) == 0):
             # Final stage: fold the decoder tail (lrelu -> conv_post -> tanh)
             # into the kernel too -- standalone it costs 16 ms (lane-starved)
@@ -197,6 +211,7 @@ def decoder_apply(
                 branches, ks, dil, tile=2048, interpret=interpret,
                 post_weight=(params_dec["conv_post"]["weight"]
                              if fold_post else None),
+                hifi=hifi_tail and fold_post,
             )
             if fold_post:
                 return x  # (B, T*hop, 1) waveform, tanh applied in-kernel
@@ -206,8 +221,16 @@ def decoder_apply(
                                           (k - u) // 2, dtype)
             if (use_pallas and ch <= 64 and pack * ch % 128 == 0
                     and x.shape[1] % pack == 0):
+                # hifi_tail also upgrades this (second-to-last) stage to f32
+                # storage: its bf16 output rounding was the largest remaining
+                # term (0.0045) after the final-stage fix
                 x = fused_mrf_stage_packed(x, branches, ks, dil,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           f32_storage=hifi_tail)
+            elif (use_pallas and pallas_stage2 and ch % 128 == 0
+                    and x.shape[1] % 512 == 0):
+                x = fused_mrf_stage(x, branches, ks, dil, tile=1024,
+                                    interpret=interpret)
             else:
                 x = mrf_stage_reference(x, branches, ks, dil)
 

@@ -50,8 +50,10 @@ def stage_radius(kernel_sizes: Sequence[int], dilations: Sequence[int] = DILATIO
 
 
 def _leaky(x):
-    # max/min formulation: some TPU targets reject bf16 vector compares
-    return jnp.maximum(x, 0) + LRELU_SLOPE * jnp.minimum(x, 0)
+    # For slope < 1, leaky-relu IS a two-op max: max(x, slope*x)
+    # (x>0: x > slope*x; x<0: slope*x > x). Saves 2 VPU passes per call vs
+    # the max/min+mul+add form; measured -1.5 ms on the stage3 kernel.
+    return jnp.maximum(x, x * LRELU_SLOPE)
 
 
 def _conv_taps(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, dilation: int) -> jnp.ndarray:
@@ -166,7 +168,7 @@ def fused_mrf_stage(
 
 
 def _packed_conv_vmem(x: jnp.ndarray, wp: jnp.ndarray, bias: jnp.ndarray,
-                      lo: int, hi: int) -> jnp.ndarray:
+                      lo: int, hi: int, out_dtype=None) -> jnp.ndarray:
     """Packed-domain conv on a VMEM value: y[q] = sum_i xpad[q+i] @ wp[i]."""
     length = x.shape[0]
     xp = jnp.pad(x, ((lo, hi), (0, 0)))
@@ -174,16 +176,75 @@ def _packed_conv_vmem(x: jnp.ndarray, wp: jnp.ndarray, bias: jnp.ndarray,
     for i in range(wp.shape[0]):
         acc = acc + jnp.dot(xp[i : i + length, :], wp[i],
                             preferred_element_type=jnp.float32)
-    return (acc + bias.astype(jnp.float32)).astype(x.dtype)
+    return (acc + bias.astype(jnp.float32)).astype(out_dtype or x.dtype)
 
 
-def _mrf_packed_kernel(layer_meta, tile, radius, x_hbm, mask_hbm, *refs):
+def _packed_conv_vmem_x2(x: jnp.ndarray, wp: jnp.ndarray, bias: jnp.ndarray,
+                         lo: int, hi: int) -> jnp.ndarray:
+    """Two-pass (hi/lo input split) packed conv: f32-in, f32-out with bf16
+    MXU operands. Input-rounding error drops from 2^-8 to ~2^-16 relative;
+    the weights stay a single bf16 (weight rounding measured negligible:
+    scripts/bisect_fidelity2.py R2 = 0.0012 mel-L1). 2x the MXU passes.
+
+    The split is by mantissa TRUNCATION (bitmask), not round-to-nearest:
+    hi = upper-16-bits(x) is exactly bf16-representable and x == hi + lo
+    exactly, so the pair is just as accurate while costing 2 VPU ops
+    (AND, SUB) instead of 4 (round, upcast, sub, round)."""
+    length = x.shape[0]
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    x_hi = hi32.astype(jnp.bfloat16)          # exact: hi32 has a bf16 mantissa
+    x_lo = (x - hi32).astype(jnp.bfloat16)    # |lo| < 2^-8 |x|; fits one bf16
+    hp = jnp.pad(x_hi, ((lo, hi), (0, 0)))
+    lp = jnp.pad(x_lo, ((lo, hi), (0, 0)))
+    acc = jnp.zeros((length, wp.shape[2]), jnp.float32)
+    for i in range(wp.shape[0]):
+        acc = acc + jnp.dot(hp[i : i + length, :], wp[i],
+                            preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(lp[i : i + length, :], wp[i],
+                            preferred_element_type=jnp.float32)
+    return acc + bias.astype(jnp.float32)
+
+
+def _pertap_conv_vmem(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray,
+                      lo: int, hi: int, shifts, out_dtype=None) -> jnp.ndarray:
+    """Per-tap packed conv (nn/conv.py pack_conv_weight_pertap): one
+    full-lane dot per original tap against a block-(anti)diagonal weight,
+    operand assembled as a lane-half select of two row-shifted reads (a
+    plain slice when the shifts coincide, i.e. every even-offset tap)."""
+    length = x.shape[0]
+    xp = jnp.pad(x, ((lo, hi), (0, 0)))
+    half = x.shape[1] // 2
+    sel = jax.lax.broadcasted_iota(jnp.int32, (length, x.shape[1]), 1) < half
+    acc = jnp.zeros((length, wt.shape[2]), jnp.float32)
+    for t, (s0, s1) in enumerate(shifts):
+        if s0 == s1:
+            v = xp[s0 : s0 + length]
+        else:
+            v = jnp.where(sel, xp[s0 : s0 + length], xp[s1 : s1 + length])
+        acc = acc + jnp.dot(v, wt[t], preferred_element_type=jnp.float32)
+    return (acc + bias.astype(jnp.float32)).astype(out_dtype or x.dtype)
+
+
+def _dispatch_conv_vmem(v, wref, bias, meta, out_dtype=None):
+    """meta: ("t", lo, hi) Toeplitz | ("p", lo, hi, shifts) per-tap."""
+    if meta[0] == "t":
+        return _packed_conv_vmem(v, wref, bias, meta[1], meta[2],
+                                 out_dtype=out_dtype)
+    return _pertap_conv_vmem(v, wref, bias, meta[1], meta[2], meta[3],
+                             out_dtype=out_dtype)
+
+
+def _mrf_packed_kernel(layer_meta, tile, radius, f32_storage, tp_real,
+                       x_hbm, mask_hbm, *refs):
     """Packed-domain fused stage. layer_meta: per-branch list of per-conv
-    (lo, hi); refs order: for each branch, for each of 6 convs: (wp, bias);
-    then out_ref, x/mask VMEM scratch, DMA sems. The validity mask (1 inside
-    the real sequence) is precomputed in XLA and DMA'd with the same halo
-    slicing as x -- in-kernel iota/compare patterns are rejected by some TPU
-    targets."""
+    metas (see _dispatch_conv_vmem); refs order: for each branch, for each
+    of 6 convs: (wp, bias); then out_ref, x/mask VMEM scratch, DMA sems. The
+    validity mask (1 inside the real sequence) is precomputed in XLA and
+    DMA'd with the same halo slicing as x -- in-kernel iota/compare patterns
+    are rejected by some TPU targets."""
     n_w = sum(len(branch) for branch in layer_meta) * 2
     w_refs = refs[:n_w]
     out_ref = refs[n_w]
@@ -206,23 +267,51 @@ def _mrf_packed_kernel(layer_meta, tile, radius, x_hbm, mask_hbm, *refs):
 
     x = x_vmem[...]
     valid = m_vmem[...]
+    if f32_storage:
+        # Serving-fidelity storage mode: intermediates live in f32 (the
+        # residual-chain ROUNDINGS, not the matmuls, are half the bf16 error
+        # at the late stages -- bisect_fidelity2.py R4); MXU operands are
+        # still a single bf16 rounding of the f32 value.
+        x = x.astype(jnp.float32)
+        valid = valid.astype(jnp.float32)
 
-    ridx = 0
-    acc = jnp.zeros(x.shape, jnp.float32)
-    for branch in layer_meta:
-        xb = x
-        for j in range(0, len(branch), 2):
-            lo1, hi1 = branch[j]
-            xt = _packed_conv_vmem(_leaky(xb), w_refs[ridx][...],
-                                   w_refs[ridx + 1][...], lo1, hi1) * valid
-            ridx += 2
-            lo2, hi2 = branch[j + 1]
-            xt = _packed_conv_vmem(_leaky(xt), w_refs[ridx][...],
-                                   w_refs[ridx + 1][...], lo2, hi2) * valid
-            ridx += 2
-            xb = xt + xb
-        acc = acc + xb.astype(jnp.float32)
-    out_ref[0] = (acc / len(layer_meta)).astype(x.dtype)[radius : radius + tile]
+    def conv(v, wp, bias, lo, hi):
+        # in f32_storage mode: single-bf16-rounded MXU operand, f32 result
+        # straight from the accumulator (no bf16 round trip)
+        return _packed_conv_vmem(
+            v.astype(x_vmem.dtype), wp, bias, lo, hi,
+            out_dtype=jnp.float32 if f32_storage else None)
+
+    def chain(masked):
+        ridx = 0
+        acc = jnp.zeros(x.shape, jnp.float32)
+        for branch in layer_meta:
+            xb = x
+            for j in range(0, len(branch), 2):
+                lo1, hi1 = branch[j]
+                xt = conv(_leaky(xb), w_refs[ridx][...],
+                          w_refs[ridx + 1][...], lo1, hi1)
+                if masked:
+                    xt = xt * valid
+                ridx += 2
+                lo2, hi2 = branch[j + 1]
+                xt = conv(_leaky(xt), w_refs[ridx][...],
+                          w_refs[ridx + 1][...], lo2, hi2)
+                if masked:
+                    xt = xt * valid
+                ridx += 2
+                xb = xt + xb
+            acc = acc + xb.astype(jnp.float32)
+        return acc
+
+    # (Interior-tile mask elision via lax.cond over two chain bodies was
+    # tried round 3 -- isolated nomask is worth only ~1 ms/stage and the
+    # doubled kernel body sent the Mosaic compile pathological; masking
+    # unconditionally is the right trade.)
+    del tp_real
+    acc = chain(True)
+    out_dtype = jnp.float32 if f32_storage else x_vmem.dtype
+    out_ref[0] = (acc / len(layer_meta)).astype(out_dtype)[radius : radius + tile]
 
 
 def fused_mrf_stage_packed(
@@ -231,10 +320,15 @@ def fused_mrf_stage_packed(
     kernel_sizes: Sequence[int],
     dilations: Sequence[int] = DILATIONS,
     lane_pack: int | None = None,
-    tile: int = 1024,  # v5e stage4: 15.4 ms vs 16.5 (512) / 18.6 (256) / 23.7 (128)
+    tile: int = 1024,  # v5e stage4: 15.4 vs 16.5 (512) / 18.6 (256) / 23.7 (128)
     interpret: bool = False,
+    f32_storage: bool = False,
 ) -> jnp.ndarray:
     """Fused MRF stage evaluated in the space-to-depth packed domain.
+
+    ``f32_storage``: keep intermediates in f32 VMEM (single-bf16 MXU
+    operands, f32 output) -- the storage half of the serving-fidelity fix;
+    see _mrf_packed_kernel.
 
     ``(B, T, C) -> (B, T/p, p*C)`` is a free reshape; every conv becomes a
     packed block-Toeplitz conv (nn/conv.py pack_conv_weight) with a 128-wide
@@ -279,14 +373,15 @@ def fused_mrf_stage_packed(
     mask = jnp.broadcast_to(mask, (total, p * c))
 
     kernel = functools.partial(_mrf_packed_kernel, tuple(map(tuple, layer_meta)),
-                               tile, radius)
+                               tile, radius, f32_storage, tp)
+    out_dtype = jnp.float32 if f32_storage else x.dtype
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_args)
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles),
-        out_shape=jax.ShapeDtypeStruct((bsz, tp + t_pad, p * c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp + t_pad, p * c), out_dtype),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile, p * c), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -300,7 +395,7 @@ def fused_mrf_stage_packed(
     return out[:, :tp].reshape(bsz, t, c)
 
 
-def _up_mrf_kernel(layer_meta, up_meta, post_meta, tile, radius,
+def _up_mrf_kernel(layer_meta, up_meta, post_meta, tile, radius, hifi, tp_real,
                    u_hbm, mask_hbm, *refs):
     """Fused upsample + MRF stage in the packed domain.
 
@@ -341,26 +436,40 @@ def _up_mrf_kernel(layer_meta, up_meta, post_meta, tile, radius,
     cm.wait()
 
     valid = m_vmem[...]
+    conv = _packed_conv_vmem_x2 if hifi else _packed_conv_vmem
+    out_dtype = jnp.float32 if hifi else u_vmem.dtype
+    if hifi:
+        valid = valid.astype(jnp.float32)
     lo_u, hi_u = up_meta
-    x = _packed_conv_vmem(_leaky(u_vmem[...]), w_refs[0][...], w_refs[1][...],
-                          lo_u, hi_u) * valid
 
-    ridx = 2
-    acc = jnp.zeros(x.shape, jnp.float32)
-    for branch in layer_meta:
-        xb = x
-        for j in range(0, len(branch), 2):
-            lo1, hi1 = branch[j]
-            xt = _packed_conv_vmem(_leaky(xb), w_refs[ridx][...],
-                                   w_refs[ridx + 1][...], lo1, hi1) * valid
-            ridx += 2
-            lo2, hi2 = branch[j + 1]
-            xt = _packed_conv_vmem(_leaky(xt), w_refs[ridx][...],
-                                   w_refs[ridx + 1][...], lo2, hi2) * valid
-            ridx += 2
-            xb = xt + xb
-        acc = acc + xb.astype(jnp.float32)
-    result = (acc / len(layer_meta)).astype(x.dtype)
+    def chain(masked):
+        def m(v):
+            return v * valid if masked else v
+
+        x = m(conv(_leaky(u_vmem[...]), w_refs[0][...], w_refs[1][...],
+                   lo_u, hi_u))
+        ridx = 2
+        acc = jnp.zeros(x.shape, jnp.float32)
+        for branch in layer_meta:
+            xb = x
+            for j in range(0, len(branch), 2):
+                lo1, hi1 = branch[j]
+                xt = m(conv(_leaky(xb), w_refs[ridx][...],
+                            w_refs[ridx + 1][...], lo1, hi1))
+                ridx += 2
+                lo2, hi2 = branch[j + 1]
+                xt = m(conv(_leaky(xt), w_refs[ridx][...],
+                            w_refs[ridx + 1][...], lo2, hi2))
+                ridx += 2
+                xb = xt + xb
+            acc = acc + xb.astype(jnp.float32)
+        return acc
+
+    # (see _mrf_packed_kernel: unconditional masking; the cond variant
+    # pathologically slowed Mosaic compilation)
+    del tp_real
+    acc = chain(True)
+    result = (acc / len(layer_meta)).astype(out_dtype)
     if post_meta is None:
         out_ref[0] = result[radius : radius + tile]
         return
@@ -368,17 +477,29 @@ def _up_mrf_kernel(layer_meta, up_meta, post_meta, tile, radius,
     # decoder tail: lrelu(0.01) -> conv_post (no bias) -> tanh, consuming the
     # halo rows as real context (radius >= post halo by construction)
     lo_p, hi_p = post_meta
-    z = jnp.maximum(result, 0) + jnp.float32(0.01).astype(result.dtype) * jnp.minimum(result, 0)
+    z = jnp.maximum(result, result * jnp.float32(0.01).astype(result.dtype))
     wp_post = w_refs[n_w][...]
     length = tile
+    if hifi:
+        zb = jax.lax.bitcast_convert_type(z, jnp.uint32)
+        z32 = jax.lax.bitcast_convert_type(
+            zb & jnp.uint32(0xFFFF0000), jnp.float32)
+        zs = (z32.astype(jnp.bfloat16), (z - z32).astype(jnp.bfloat16))
+    else:
+        zs = (z,)
     accp = jnp.zeros((tile, wp_post.shape[2]), jnp.float32)
-    for tap in range(wp_post.shape[0]):
-        accp = accp + jnp.dot(z[radius - lo_p + tap : radius - lo_p + tap + length],
-                              wp_post[tap], preferred_element_type=jnp.float32)
-    y = jnp.tanh(accp).astype(x.dtype)
+    for zz in zs:
+        for tap in range(wp_post.shape[0]):
+            accp = accp + jnp.dot(
+                zz[radius - lo_p + tap : radius - lo_p + tap + length],
+                wp_post[tap], preferred_element_type=jnp.float32)
+    y = jnp.tanh(accp).astype(out_dtype)
+    # (a narrow waveform-packed store -- reshape (tile, p) -> (tile*p/128,
+    # 128) in-kernel -- was tried and is rejected by Mosaic: "infer-vector-
+    # layout: unsupported shape cast"; pad the lanes to block width instead)
     pad_lanes = out_ref.shape[-1] - y.shape[-1]
     out_ref[0] = jnp.concatenate(
-        [y, jnp.zeros((tile, pad_lanes), x.dtype)], axis=-1)
+        [y, jnp.zeros((tile, pad_lanes), out_dtype)], axis=-1)
 
 
 def fused_up_mrf_stage(
@@ -395,8 +516,17 @@ def fused_up_mrf_stage(
     tile: int = 1024,
     interpret: bool = False,
     post_weight: jnp.ndarray | None = None,  # conv_post torch (1, Cout, k)
+    hifi: bool = False,
 ) -> jnp.ndarray:
     """lrelu -> ConvTranspose upsample -> MRF stage, fused per tile in VMEM.
+
+    ``hifi=True`` runs the stage at serving-fidelity precision: activations
+    stored float32 end-to-end in VMEM, every conv evaluated as a two-pass
+    hi/lo bf16 split (see _packed_conv_vmem_x2), float32 output. Costs ~2x
+    the stage's MXU passes; used on the waveform-adjacent final stage where
+    bf16 storage+matmul rounding dominates the serving mel-L1
+    (scripts/bisect_fidelity*.py: piece-3+post bf16 = 0.0133/0.0106 of the
+    0.024 serving total, vs <=0.0045 for every earlier piece).
 
     ``u (B, Tu, Cin)`` is the pre-upsample activation; output is
     ``(B, Tu*stride, Cout)``. Saves the XLA upsample op plus one full HBM
@@ -418,9 +548,12 @@ def fused_up_mrf_stage(
     ps = p // s
     tp = tu // ps  # == (tu * s) // p: packed rows shared by input and output
 
+    # hifi keeps activations f32 (the input u may itself be f32) but MXU
+    # operands must be bf16 -- weight rounding is negligible (bisect R2)
+    wdt = jnp.bfloat16 if hifi else u.dtype
     wp_up, lo_u, hi_u = pack_convtranspose_weight(up_weight, s, up_padding, p)
     weight_args: List[jnp.ndarray] = [
-        wp_up.astype(u.dtype), jnp.tile(up_bias, p).astype(u.dtype)
+        wp_up.astype(wdt), jnp.tile(up_bias, p).astype(wdt)
     ]
     layer_meta: List[List[tuple]] = []
     radius = max(lo_u, hi_u)
@@ -430,8 +563,8 @@ def fused_up_mrf_stage(
         for j, d in enumerate(dilations):
             for w, bb, dil in ((w1[j], b1[j], d), (w2[j], b2[j], 1)):
                 wp, lo, hi = pack_conv_weight(w, dil, p)
-                weight_args.append(wp.astype(u.dtype))
-                weight_args.append(jnp.tile(bb, p).astype(u.dtype))
+                weight_args.append(wp.astype(wdt))
+                weight_args.append(jnp.tile(bb, p).astype(wdt))
                 metas.append((lo, hi))
                 branch_halo += max(lo, hi)
         layer_meta.append(metas)
@@ -463,19 +596,20 @@ def fused_up_mrf_stage(
     mask = jnp.broadcast_to(mask, (total, p * cout))
 
     if post_weight is not None:
-        weight_args.append(wp_post.astype(u.dtype))
+        weight_args.append(wp_post.astype(wdt))
 
     kernel = functools.partial(
         _up_mrf_kernel, tuple(map(tuple, layer_meta)), (lo_u, hi_u), post_meta,
-        tile, radius,
+        tile, radius, hifi, tp,
     )
+    out_dtype = jnp.float32 if hifi else u.dtype
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weight_args)
     out = pl.pallas_call(
         kernel,
         grid=(bsz, n_tiles),
-        out_shape=jax.ShapeDtypeStruct((bsz, tp + t_pad, p * cout), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp + t_pad, p * cout), out_dtype),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile, p * cout), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),

@@ -141,6 +141,52 @@ def pack_conv_weight(w_hio: jnp.ndarray, dilation: int, p: int):
     return wp, -d_min, d_max
 
 
+def pack_conv_weight_pertap(w_hio: jnp.ndarray, dilation: int, p: int):
+    """Per-tap packed weights for a dilated conv at pack p=2.
+
+    The block-Toeplitz form (:func:`pack_conv_weight`) computes every packed
+    row-shift densely: a (k, d) conv costs ``kp = d_max-d_min+1 ~ (k-1)d/p+2``
+    full (p*C, p*C) MXU passes of which only ~k*p/p^2 blocks are nonzero --
+    2.7-4.7x MAC inflation for the HiFi-GAN d in (3, 5) convs. This variant
+    spends exactly ONE full-lane pass per original tap instead:
+
+    For output phase j at packed row q, tap tau reads input time
+    ``u = j + d*tau - r`` i.e. packed (row q + delta_j, phase u%2). With p=2
+    and d odd the two output phases read OPPOSITE input phases, so one
+    (L, 2C) operand assembled as ``lanes[mC:(m+1)C] = xpad[sigma_m + q]``
+    (a plain row-shifted read per lane half -- no lane movement) against a
+    block-diagonal/anti-diagonal weight computes both phases' tap-tau
+    contribution in a single (L,2C)@(2C,2C) dot. k dots total: 2x MAC
+    inflation uniformly, vs kp >= k dense row-shifts (strictly fewer passes
+    whenever d > 1; for d=1 the Toeplitz form is denser -- keep it there).
+
+    Returns ``(wt (k, p*Cin, p*Cout), shifts, lo, hi)`` where ``shifts[tau] =
+    (sigma_0, sigma_1)`` are the non-negative row shifts into the
+    ``(lo, hi)``-padded input for lane halves 0 / 1 (equal when no select is
+    needed), and (lo, hi) match pack_conv_weight's padding exactly.
+    """
+    import numpy as np
+
+    assert p == 2, p
+    assert dilation % 2 == 1, dilation  # odd d <=> phases don't collide
+    k, cin, cout = w_hio.shape
+    r = dilation * (k - 1) // 2
+    d_min = -((r + p - 1) // p)
+    d_max = (p - 1 + dilation * (k - 1) - r) // p
+
+    place = np.zeros((k, k, p, p), w_hio.dtype)  # [tau, tap-slot, in-phase, j]
+    shifts = []
+    for tau in range(k):
+        sigma = [0, 0]
+        for j in range(p):
+            u = j + dilation * tau - r
+            place[tau, tau, u % p, j] = 1
+            sigma[u % p] = u // p - d_min
+        shifts.append(tuple(sigma))
+    wt = jnp.einsum("tio,tdpj->dpijo", w_hio, jnp.asarray(place))
+    return wt.reshape(k, p * cin, p * cout), tuple(shifts), -d_min, d_max
+
+
 def pack_convtranspose_weight(w_iok: jnp.ndarray, stride: int, padding: int, p: int):
     """Repack ``ConvTranspose1d(k, s, p_t)`` for packed-domain evaluation.
 

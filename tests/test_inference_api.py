@@ -188,6 +188,31 @@ class TestStreaming:
         assert len(got) > 1
         np.testing.assert_allclose(np.concatenate(got), want, rtol=0, atol=0)
 
+    def test_stream_first_chunk_latency(self, tmp_path):
+        """A window is emitted as soon as step+overlap = chunk-overlap frames
+        are buffered -- the live-TTS first-audio latency contract (SURVEY 5
+        long-context row; docs/ARCHITECTURE.md latency table)."""
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(128,))
+        chunk, overlap = 128, 32
+        latency = chunk - overlap  # 96 frames
+        emitted = []
+
+        def feed():
+            # one frame at a time; record how many frames were handed over
+            # before the first wav piece comes back
+            for i in range(300):
+                emitted.append(i + 1)
+                yield np.zeros((1, 80), np.float32) - 4
+
+        gen = voc.stream_mel_to_wav(feed(), chunk=chunk, overlap=overlap,
+                                    noise_scale=0.0)
+        first = next(gen)
+        frames_buffered = emitted[-1]
+        assert frames_buffered == latency, (frames_buffered, latency)
+        # the first piece covers step = chunk - 2*overlap frames of audio
+        assert first.shape == ((chunk - 2 * overlap) * 256,)
+
     def test_stream_short_input_single_window(self, tmp_path):
         hps, params = tiny_vocoder(tmp_path)
         voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64, 128))
