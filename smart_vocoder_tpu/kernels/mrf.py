@@ -25,6 +25,7 @@ non-TPU fallback.
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Sequence, Tuple
 
 import jax
@@ -208,31 +209,62 @@ def _packed_conv_vmem_x2(x: jnp.ndarray, wp: jnp.ndarray, bias: jnp.ndarray,
     return acc + bias.astype(jnp.float32)
 
 
-def _pertap_conv_vmem(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray,
-                      lo: int, hi: int, shifts, out_dtype=None) -> jnp.ndarray:
-    """Per-tap packed conv (nn/conv.py pack_conv_weight_pertap): one
-    full-lane dot per original tap against a block-(anti)diagonal weight,
-    operand assembled as a lane-half select of two row-shifted reads (a
-    plain slice when the shifts coincide, i.e. every even-offset tap)."""
+def _pertap_operands(x: jnp.ndarray, lo: int, hi: int, shifts):
+    """Yield the per-tap (L, p*C) operands for a per-tap packed conv
+    (nn/conv.py pack_conv_weight_pertap): each is a plain row-shifted read,
+    or one lane-prefix select of two row-shifted reads when the tap's
+    phase offsets straddle a packed-row boundary."""
     length = x.shape[0]
     xp = jnp.pad(x, ((lo, hi), (0, 0)))
-    half = x.shape[1] // 2
-    sel = jax.lax.broadcasted_iota(jnp.int32, (length, x.shape[1]), 1) < half
-    acc = jnp.zeros((length, wt.shape[2]), jnp.float32)
-    for t, (s0, s1) in enumerate(shifts):
-        if s0 == s1:
-            v = xp[s0 : s0 + length]
+    p = len(shifts[0])
+    gs = x.shape[1] // p
+    lane = jax.lax.broadcasted_iota(jnp.int32, (length, x.shape[1]), 1)
+    for sig in shifts:
+        if sig[0] == sig[-1]:
+            yield xp[sig[0] : sig[0] + length]
         else:
-            v = jnp.where(sel, xp[s0 : s0 + length], xp[s1 : s1 + length])
+            ncut = sum(1 for s in sig if s == sig[0])
+            yield jnp.where(lane < ncut * gs,
+                            xp[sig[0] : sig[0] + length],
+                            xp[sig[-1] : sig[-1] + length])
+
+
+def _pertap_conv_vmem(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray,
+                      lo: int, hi: int, shifts, out_dtype=None) -> jnp.ndarray:
+    """Per-tap packed conv: one full-lane dot per original tap against a
+    block-permuted-diagonal weight (see pack_conv_weight_pertap)."""
+    acc = jnp.zeros((x.shape[0], wt.shape[2]), jnp.float32)
+    for t, v in enumerate(_pertap_operands(x, lo, hi, shifts)):
         acc = acc + jnp.dot(v, wt[t], preferred_element_type=jnp.float32)
     return (acc + bias.astype(jnp.float32)).astype(out_dtype or x.dtype)
 
 
-def _dispatch_conv_vmem(v, wref, bias, meta, out_dtype=None):
+def _pertap_conv_vmem_x2(x: jnp.ndarray, wt: jnp.ndarray, bias: jnp.ndarray,
+                         lo: int, hi: int, shifts) -> jnp.ndarray:
+    """Per-tap packed conv with the hi/lo bf16 input split (serving-fidelity
+    mode; see _packed_conv_vmem_x2 for the split's derivation)."""
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    x_hi = hi32.astype(jnp.bfloat16)
+    x_lo = (x - hi32).astype(jnp.bfloat16)
+    acc = jnp.zeros((x.shape[0], wt.shape[2]), jnp.float32)
+    for part in (x_hi, x_lo):
+        for t, v in enumerate(_pertap_operands(part, lo, hi, shifts)):
+            acc = acc + jnp.dot(v, wt[t], preferred_element_type=jnp.float32)
+    return acc + bias.astype(jnp.float32)
+
+
+def _dispatch_conv_vmem(v, wref, bias, meta, out_dtype=None, x2=False):
     """meta: ("t", lo, hi) Toeplitz | ("p", lo, hi, shifts) per-tap."""
     if meta[0] == "t":
+        if x2:
+            return _packed_conv_vmem_x2(v, wref, bias, meta[1], meta[2])
         return _packed_conv_vmem(v, wref, bias, meta[1], meta[2],
                                  out_dtype=out_dtype)
+    if x2:
+        return _pertap_conv_vmem_x2(v, wref, bias, meta[1], meta[2], meta[3])
     return _pertap_conv_vmem(v, wref, bias, meta[1], meta[2], meta[3],
                              out_dtype=out_dtype)
 
@@ -275,11 +307,11 @@ def _mrf_packed_kernel(layer_meta, tile, radius, f32_storage, tp_real,
         x = x.astype(jnp.float32)
         valid = valid.astype(jnp.float32)
 
-    def conv(v, wp, bias, lo, hi):
+    def conv(v, wp, bias, meta):
         # in f32_storage mode: single-bf16-rounded MXU operand, f32 result
         # straight from the accumulator (no bf16 round trip)
-        return _packed_conv_vmem(
-            v.astype(x_vmem.dtype), wp, bias, lo, hi,
+        return _dispatch_conv_vmem(
+            v.astype(x_vmem.dtype), wp, bias, meta,
             out_dtype=jnp.float32 if f32_storage else None)
 
     def chain(masked):
@@ -288,15 +320,13 @@ def _mrf_packed_kernel(layer_meta, tile, radius, f32_storage, tp_real,
         for branch in layer_meta:
             xb = x
             for j in range(0, len(branch), 2):
-                lo1, hi1 = branch[j]
                 xt = conv(_leaky(xb), w_refs[ridx][...],
-                          w_refs[ridx + 1][...], lo1, hi1)
+                          w_refs[ridx + 1][...], branch[j])
                 if masked:
                     xt = xt * valid
                 ridx += 2
-                lo2, hi2 = branch[j + 1]
                 xt = conv(_leaky(xt), w_refs[ridx][...],
-                          w_refs[ridx + 1][...], lo2, hi2)
+                          w_refs[ridx + 1][...], branch[j + 1])
                 if masked:
                     xt = xt * valid
                 ridx += 2
@@ -323,12 +353,19 @@ def fused_mrf_stage_packed(
     tile: int = 1024,  # v5e stage4: 15.4 vs 16.5 (512) / 18.6 (256) / 23.7 (128)
     interpret: bool = False,
     f32_storage: bool = False,
+    pertap: bool = True,
 ) -> jnp.ndarray:
     """Fused MRF stage evaluated in the space-to-depth packed domain.
 
     ``f32_storage``: keep intermediates in f32 VMEM (single-bf16 MXU
     operands, f32 output) -- the storage half of the serving-fidelity fix;
     see _mrf_packed_kernel.
+
+    ``pertap``: evaluate each dilated (d odd > 1, p=2) conv with one
+    full-lane dot per original tap (pack_conv_weight_pertap) instead of the
+    dense block-Toeplitz row-shift loop -- k passes instead of ~(k-1)d/2+2,
+    a 126 -> 90 MXU-pass cut across the stage at the iitp geometry. d=1
+    convs keep the Toeplitz form (denser there: 2 <= kp < k).
 
     ``(B, T, C) -> (B, T/p, p*C)`` is a free reshape; every conv becomes a
     packed block-Toeplitz conv (nn/conv.py pack_conv_weight) with a 128-wide
@@ -337,7 +374,7 @@ def fused_mrf_stage_packed(
     the MXU full 128-lane operands. All 18 convs + activations of the stage
     run per tile in VMEM with a single halo DMA.
     """
-    from smart_vocoder_tpu.nn.conv import pack_conv_weight
+    from smart_vocoder_tpu.nn.conv import pack_conv_weight, pack_conv_weight_pertap
 
     bsz, t, c = x.shape
     p = lane_pack or max(1, 128 // c)
@@ -353,10 +390,18 @@ def fused_mrf_stage_packed(
         branch_halo = 0
         for j, d in enumerate(dilations):
             for w, bb, dil in ((w1[j], b1[j], d), (w2[j], b2[j], 1)):
-                wp, lo, hi = pack_conv_weight(w, dil, p)
-                weight_args.append(wp.astype(x.dtype))
+                kk = w.shape[0]
+                toep_kp = ((dil * (kk - 1) // 2 + p - 1) // p
+                           + (p - 1 + dil * (kk - 1) - dil * (kk - 1) // 2) // p + 1)
+                if pertap and math.gcd(dil, p) == 1 and kk < toep_kp:
+                    wt, shifts, lo, hi = pack_conv_weight_pertap(w, dil, p)
+                    weight_args.append(wt.astype(x.dtype))
+                    metas.append(("p", lo, hi, shifts))
+                else:
+                    wt, lo, hi = pack_conv_weight(w, dil, p)
+                    weight_args.append(wt.astype(x.dtype))
+                    metas.append(("t", lo, hi))
                 weight_args.append(jnp.tile(bb, p).astype(x.dtype))
-                metas.append((lo, hi))
                 branch_halo += max(lo, hi)
         layer_meta.append(metas)
         radius = max(radius, branch_halo)
@@ -436,30 +481,32 @@ def _up_mrf_kernel(layer_meta, up_meta, post_meta, tile, radius, hifi, tp_real,
     cm.wait()
 
     valid = m_vmem[...]
-    conv = _packed_conv_vmem_x2 if hifi else _packed_conv_vmem
     out_dtype = jnp.float32 if hifi else u_vmem.dtype
     if hifi:
         valid = valid.astype(jnp.float32)
     lo_u, hi_u = up_meta
+
+    def conv(v, wref, bias, meta):
+        if hifi:
+            return _dispatch_conv_vmem(v, wref, bias, meta, x2=True)
+        return _dispatch_conv_vmem(v, wref, bias, meta)
 
     def chain(masked):
         def m(v):
             return v * valid if masked else v
 
         x = m(conv(_leaky(u_vmem[...]), w_refs[0][...], w_refs[1][...],
-                   lo_u, hi_u))
+                   ("t", lo_u, hi_u)))
         ridx = 2
         acc = jnp.zeros(x.shape, jnp.float32)
         for branch in layer_meta:
             xb = x
             for j in range(0, len(branch), 2):
-                lo1, hi1 = branch[j]
                 xt = m(conv(_leaky(xb), w_refs[ridx][...],
-                            w_refs[ridx + 1][...], lo1, hi1))
+                            w_refs[ridx + 1][...], branch[j]))
                 ridx += 2
-                lo2, hi2 = branch[j + 1]
                 xt = m(conv(_leaky(xt), w_refs[ridx][...],
-                            w_refs[ridx + 1][...], lo2, hi2))
+                            w_refs[ridx + 1][...], branch[j + 1]))
                 ridx += 2
                 xb = xt + xb
             acc = acc + xb.astype(jnp.float32)
@@ -517,6 +564,7 @@ def fused_up_mrf_stage(
     interpret: bool = False,
     post_weight: jnp.ndarray | None = None,  # conv_post torch (1, Cout, k)
     hifi: bool = False,
+    pertap: bool = True,
 ) -> jnp.ndarray:
     """lrelu -> ConvTranspose upsample -> MRF stage, fused per tile in VMEM.
 
@@ -538,7 +586,11 @@ def fused_up_mrf_stage(
     conv_post costs 16 ms at the bench shape (lane-starved + it re-triggers
     the XLA layout flip-flop as a Pallas-consuming conv).
     """
-    from smart_vocoder_tpu.nn.conv import pack_conv_weight, pack_convtranspose_weight
+    from smart_vocoder_tpu.nn.conv import (
+        pack_conv_weight,
+        pack_conv_weight_pertap,
+        pack_convtranspose_weight,
+    )
 
     bsz, tu, cin = u.shape
     cout = up_weight.shape[1]
@@ -562,10 +614,17 @@ def fused_up_mrf_stage(
         branch_halo = max(lo_u, hi_u)
         for j, d in enumerate(dilations):
             for w, bb, dil in ((w1[j], b1[j], d), (w2[j], b2[j], 1)):
-                wp, lo, hi = pack_conv_weight(w, dil, p)
+                kk = w.shape[0]
+                r_t = dil * (kk - 1) // 2
+                toep_kp = (r_t + p - 1) // p + (p - 1 + dil * (kk - 1) - r_t) // p + 1
+                if pertap and math.gcd(dil, p) == 1 and kk < toep_kp:
+                    wp, shifts, lo, hi = pack_conv_weight_pertap(w, dil, p)
+                    metas.append(("p", lo, hi, shifts))
+                else:
+                    wp, lo, hi = pack_conv_weight(w, dil, p)
+                    metas.append(("t", lo, hi))
                 weight_args.append(wp.astype(wdt))
                 weight_args.append(jnp.tile(bb, p).astype(wdt))
-                metas.append((lo, hi))
                 branch_halo += max(lo, hi)
         layer_meta.append(metas)
         radius = max(radius, branch_halo)

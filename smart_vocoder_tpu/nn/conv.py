@@ -160,15 +160,23 @@ def pack_conv_weight_pertap(w_hio: jnp.ndarray, dilation: int, p: int):
     inflation uniformly, vs kp >= k dense row-shifts (strictly fewer passes
     whenever d > 1; for d=1 the Toeplitz form is denser -- keep it there).
 
-    Returns ``(wt (k, p*Cin, p*Cout), shifts, lo, hi)`` where ``shifts[tau] =
-    (sigma_0, sigma_1)`` are the non-negative row shifts into the
-    ``(lo, hi)``-padded input for lane halves 0 / 1 (equal when no select is
-    needed), and (lo, hi) match pack_conv_weight's padding exactly.
+    Generalizes to any p with gcd(d, p) = 1 (each input phase read by
+    exactly one output phase per tap): the p phase offsets ``u = j + d*tau
+    - r`` are consecutive integers, so their packed rows take at most TWO
+    values splitting at the u = 0 (mod p) wrap -- the operand is always at
+    most one lane-prefix select of two row-shifted reads.
+
+    Returns ``(wt (k, p*Cin, p*Cout), shifts, lo, hi)`` where ``shifts[tau]
+    = (sigma_0, .., sigma_{p-1})`` are the non-negative row shifts into the
+    ``(lo, hi)``-padded input per input-phase lane block (a prefix of equal
+    larger shifts, then equal smaller; all equal when no select is needed),
+    and (lo, hi) match pack_conv_weight's padding exactly.
     """
+    import math
+
     import numpy as np
 
-    assert p == 2, p
-    assert dilation % 2 == 1, dilation  # odd d <=> phases don't collide
+    assert math.gcd(dilation, p) == 1, (dilation, p)
     k, cin, cout = w_hio.shape
     r = dilation * (k - 1) // 2
     d_min = -((r + p - 1) // p)
@@ -177,11 +185,15 @@ def pack_conv_weight_pertap(w_hio: jnp.ndarray, dilation: int, p: int):
     place = np.zeros((k, k, p, p), w_hio.dtype)  # [tau, tap-slot, in-phase, j]
     shifts = []
     for tau in range(k):
-        sigma = [0, 0]
+        sigma = [0] * p
         for j in range(p):
             u = j + dilation * tau - r
             place[tau, tau, u % p, j] = 1
             sigma[u % p] = u // p - d_min
+        # prefix structure: phases [0, ph0) hold shift f+1, [ph0, p) hold f
+        n0 = sum(1 for s in sigma if s == sigma[0])
+        assert all(s == sigma[0] for s in sigma[:n0]), sigma
+        assert all(s == sigma[-1] for s in sigma[n0:]), sigma
         shifts.append(tuple(sigma))
     wt = jnp.einsum("tio,tdpj->dpijo", w_hio, jnp.asarray(place))
     return wt.reshape(k, p * cin, p * cout), tuple(shifts), -d_min, d_max

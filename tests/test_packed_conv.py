@@ -50,6 +50,53 @@ class TestPackConvWeight:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+class TestPackConvWeightPertap:
+    """pack_conv_weight_pertap + the kernel-side operand assembly
+    (_pertap_operands) reproduce the direct dilated conv exactly, for any
+    gcd(d, p) = 1 — including p=4 (stage4 geometry) and the prefix-select
+    boundary cases."""
+
+    @pytest.mark.parametrize("k,d,p", [
+        (3, 3, 2), (7, 3, 2), (11, 5, 2), (5, 7, 2),
+        (3, 3, 4), (11, 5, 4), (7, 3, 4),
+        (3, 5, 8), (5, 3, 8),
+    ])
+    def test_exact_vs_direct(self, k, d, p):
+        from smart_vocoder_tpu.kernels.mrf import _pertap_operands
+        from smart_vocoder_tpu.nn.conv import pack_conv_weight_pertap
+
+        cin = cout = 16
+        key = jax.random.key(k * 100 + d * 10 + p)
+        x = jax.random.normal(key, (64 * p, cin))
+        w = jax.random.normal(jax.random.fold_in(key, 1), (k, cin, cout)) * 0.1
+
+        want = direct_conv(x[None], w, d)[0].reshape(-1, p * cout)
+
+        wt, shifts, lo, hi = pack_conv_weight_pertap(w, d, p)
+        assert wt.shape == (k, p * cin, p * cout)
+        xp = x.reshape(-1, p * cin)
+        acc = jnp.zeros((xp.shape[0], p * cout), jnp.float32)
+        for t, v in enumerate(_pertap_operands(xp, lo, hi, shifts)):
+            acc = acc + jnp.dot(v, wt[t])
+        np.testing.assert_allclose(np.asarray(acc), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_padding_matches_toeplitz(self):
+        from smart_vocoder_tpu.nn.conv import pack_conv_weight_pertap
+
+        for k, d, p in [(3, 3, 2), (11, 5, 4)]:
+            w = jnp.ones((k, 4, 4))
+            _, lo_t, hi_t = pack_conv_weight(w, d, p)
+            _, _, lo_p, hi_p = pack_conv_weight_pertap(w, d, p)
+            assert (lo_p, hi_p) == (lo_t, hi_t)
+
+    def test_rejects_colliding_phases(self):
+        from smart_vocoder_tpu.nn.conv import pack_conv_weight_pertap
+
+        with pytest.raises(AssertionError):
+            pack_conv_weight_pertap(jnp.ones((3, 4, 4)), 2, 4)
+
+
 class TestNormConv1dPacked:
     def test_module_packed_equals_unpacked(self):
         x = jax.random.normal(jax.random.key(2), (2, 128, 32))
