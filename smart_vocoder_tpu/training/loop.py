@@ -221,10 +221,20 @@ def _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg, writer_eval,
         batch = next(iter(eval_loader))
     except StopIteration:
         return
+    # Static eval shape: pad/crop the mel to exactly max_len frames so
+    # infer_fn compiles ONCE regardless of which bucket each eval call's
+    # first batch lands on (recompile per new bucket shape otherwise). The
+    # sequence mask zeroes the padded tail, matching the reference's
+    # max_len=1000 crop (train.py:273).
+    max_len = 1000
     mel = spec_to_mel(batch.spec[:1], mel_cfg)
+    if mel.shape[1] < max_len:
+        mel = jnp.pad(mel, ((0, 0), (0, max_len - mel.shape[1]), (0, 0)))
+    else:
+        mel = mel[:, :max_len]
+    lens = jnp.minimum(batch.spec_lengths[:1], max_len)
     y_hat, mask, _ = infer_fn(
-        state.params_g, mel, batch.spec_lengths[:1],
-        jax.random.key(0), max_len=1000,  # frames, matching train.py:273
+        state.params_g, mel, lens, jax.random.key(0), max_len=max_len,
     )
     y_hat = np.asarray(jax.device_get(y_hat), dtype=np.float32)
     y_hat_len = int(np.asarray(mask).sum() * hps.data.hop_length)

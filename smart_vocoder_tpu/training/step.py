@@ -24,8 +24,12 @@ models.py:175/:210), the power-iteration vectors live in the mutable
 spectral_norm pre-forward hook.
 
 Losses are float32 islands regardless of compute dtype (train.py:189, :201).
-The reference's ``clip_grad_value_(params, None)`` never clips -- it only
-measures the global grad norm for logging (commons.py:146-161); same here.
+The reference's ``clip_grad_value_(params, None)`` never clips with the
+config of record -- it only measures the global grad norm for logging
+(commons.py:146-161); same here by default. Setting
+``train.clip_grad_value`` enables the reference's elementwise clamp
+(norm still logged pre-clip, matching commons.py's accumulate-then-clamp
+order).
 
 Randomness is explicit: one step key is split into posterior-noise, slice, and
 jigsaw keys (the reference relies on unseeded global torch RNG,
@@ -95,6 +99,17 @@ def make_train_step(
     c_mel = float(hps.train.c_mel)
     c_kl = float(hps.train.c_kl)
     use_sn = bool(hps.model.get("use_spectral_norm", False))
+    # Optional elementwise grad clamp (reference commons.py:146-161
+    # clip_grad_value_; the config of record passes None so it never clips,
+    # but the capability exists -- parity knob). Reference semantics: the
+    # logged norm is measured BEFORE clamping.
+    clip_val = hps.train.get("clip_grad_value", None)
+    clip_val = float(clip_val) if clip_val is not None else None
+
+    def _clip(grads):
+        if clip_val is None:
+            return grads
+        return jax.tree.map(lambda g: jnp.clip(g, -clip_val, clip_val), grads)
 
     def d_apply(params_d, spectral_d, y, y_hat):
         """Discriminator forward; advances power-iteration state when SN is on.
@@ -148,6 +163,7 @@ def make_train_step(
             jax.value_and_grad(loss_d_fn, has_aux=True)(state.params_d)
         )
         grad_norm_d = optax.global_norm(grads_d)
+        grads_d = _clip(grads_d)
         updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, updates_d)
 
@@ -178,6 +194,7 @@ def make_train_step(
         )
         (grads_g,) = g_vjp(cotangents)
         grad_norm_g = optax.global_norm(grads_g)
+        grads_g = _clip(grads_g)
         updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
 

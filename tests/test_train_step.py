@@ -180,3 +180,32 @@ class TestSpectralNormTraining:
                     for a, b in zip(jax.tree.leaves(state.params_d),
                                     jax.tree.leaves(s2.params_d)))
         assert moved == len(jax.tree.leaves(state.params_d))
+
+
+class TestGradClip:
+    """train.clip_grad_value enables the reference's elementwise clamp
+    (commons.py:146-161); default None reproduces the norm-only behaviour."""
+
+    def test_clip_changes_update_but_not_logged_norm(self):
+        hps = tiny_hps()
+        g, d = tiny_models(hps)
+        tx_g, tx_d = make_optimizer(hps), make_optimizer(hps)
+        batch = synthetic_batch(hps)
+        state = init_train_state(hps, g, d, tx_g, tx_d, jax.random.key(0), batch)
+
+        step_plain = jax.jit(make_train_step(hps, g, d, tx_g, tx_d))
+        hps_clip = tiny_hps()
+        hps_clip.train.clip_grad_value = 1e-5  # far below typical |g| at init
+        step_clip = jax.jit(make_train_step(hps_clip, g, d, tx_g, tx_d))
+
+        s_a, m_a = step_plain(state, batch, jax.random.key(1))
+        s_b, m_b = step_clip(state, batch, jax.random.key(1))
+        # the logged norm is measured BEFORE clamping -> identical
+        np.testing.assert_allclose(float(m_a["grad_norm_g"]),
+                                   float(m_b["grad_norm_g"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m_a["grad_norm_d"]),
+                                   float(m_b["grad_norm_d"]), rtol=1e-6)
+        # but the applied updates differ (clamp engaged)
+        a, b = jax.tree.leaves(s_a.params_g), jax.tree.leaves(s_b.params_g)
+        assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(a, b))
