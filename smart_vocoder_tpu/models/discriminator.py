@@ -68,6 +68,7 @@ class DiscriminatorS(nn.Module):
 
     width_mult: float = 1.0
     use_spectral_norm: bool = False
+    pack_grouped: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -90,6 +91,7 @@ class DiscriminatorS(nn.Module):
             g = math.gcd(math.gcd(g, x.shape[-1]), ch)
             x = NormConv1d(ch, k, stride=s, padding=p, groups=g,
                            weight_norm=not sn, spectral_norm=sn,
+                           pack_grouped=self.pack_grouped,
                            dtype=self.dtype, name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
@@ -108,6 +110,15 @@ class MultiPeriodDiscriminator(nn.Module):
 
     use_spectral_norm: bool = False
     width_mult: float = 1.0
+    # Escape hatch for the space-to-depth grouped-conv GEMM in DiscriminatorS
+    # (see nn/conv.py NormConv1d.pack_grouped); parameters are identical
+    # either way.
+    pack_grouped: bool = True
+    # Run (y, y_hat) as ONE doubled batch per discriminator instead of two
+    # separate conv chains: exactly the same per-sample math (convs are
+    # batch-parallel), half the op count, and the late small-spatial layers
+    # (101 rows at B=16) get a 2x fatter GEMM M dimension.
+    pair_batched: bool = True
     dtype: jnp.dtype = jnp.float32
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)  # reference models.py:238
 
@@ -115,6 +126,7 @@ class MultiPeriodDiscriminator(nn.Module):
         periods = list(self.periods)
         discs = [DiscriminatorS(width_mult=self.width_mult,
                                 use_spectral_norm=self.use_spectral_norm,
+                                pack_grouped=self.pack_grouped,
                                 dtype=self.dtype, name="discriminators_0")]
         discs += [
             DiscriminatorP(p, width_mult=self.width_mult,
@@ -126,6 +138,16 @@ class MultiPeriodDiscriminator(nn.Module):
 
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        if self.pair_batched and y.shape == y_hat.shape:
+            b = y.shape[0]
+            both = jnp.concatenate([y, y_hat], axis=0)
+            for d in self.discs:
+                logits, fmaps = d(both)
+                y_d_rs.append(logits[:b])
+                y_d_gs.append(logits[b:])
+                fmap_rs.append([f[:b] for f in fmaps])
+                fmap_gs.append([f[b:] for f in fmaps])
+            return y_d_rs, y_d_gs, fmap_rs, fmap_gs
         for d in self.discs:
             y_d_r, fmap_r = d(y)
             y_d_g, fmap_g = d(y_hat)

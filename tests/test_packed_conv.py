@@ -114,3 +114,64 @@ class TestNormConv1dPacked:
         params = mod.init(jax.random.key(5), x)["params"]
         y = mod.apply({"params": params}, x)
         assert y.shape == (1, 130, 32)
+
+
+class TestPackedGroupedConv:
+    """The space-to-depth grouped-conv path (NormConv1d._packed_grouped):
+    exactness (forward AND gradients) vs lax's feature_group_count lowering
+    across the DiscriminatorS geometries (ref models.py:211-218), where the
+    4-channels-per-group convs are MXU-lane-starved."""
+
+    GEOMS = [  # (cin, cout, k, stride, groups, pad, t)
+        (16, 64, 41, 4, 4, 20, 8192),
+        (64, 256, 41, 4, 16, 20, 2048),
+        (256, 1024, 41, 4, 64, 20, 512),
+        (1024, 1024, 41, 4, 256, 20, 128),
+        (8, 8, 5, 1, 2, 2, 64),       # stride-1 grouped
+    ]
+
+    def _pair(self, cin, cout, k, s, g, pad, t, seed=0):
+        conv_fast = NormConv1d(cout, k, stride=s, padding=pad, groups=g,
+                               use_bias=True)
+        conv_ref = NormConv1d(cout, k, stride=s, padding=pad, groups=g,
+                              use_bias=True, pack_grouped=False)
+        x = jax.random.normal(jax.random.key(seed), (2, t, cin))
+        params = conv_ref.init(jax.random.key(seed + 1), x)["params"]
+        return conv_fast, conv_ref, x, params
+
+    @pytest.mark.parametrize("geom", GEOMS)
+    def test_forward_exact(self, geom):
+        conv_fast, conv_ref, x, params = self._pair(*geom)
+        want = conv_ref.apply({"params": params}, x)
+        got = conv_fast.apply({"params": params}, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_routing(self):
+        # lane-starved grouped geometry routes to the packed path (no
+        # conv_general_dilated in the jaxpr); cg > 32 keeps the direct conv
+        conv_fast, _, x, params = self._pair(*self.GEOMS[0])
+        jx = str(jax.make_jaxpr(
+            lambda p, v: conv_fast.apply({"params": p}, v))(params, x))
+        assert "conv_general_dilated" not in jx
+        wide = NormConv1d(128, 5, stride=1, padding=2, groups=2)
+        xw = jnp.zeros((1, 64, 128))
+        pw = wide.init(jax.random.key(0), xw)["params"]
+        jw = str(jax.make_jaxpr(
+            lambda p, v: wide.apply({"params": p}, v))(pw, xw))
+        assert "conv_general_dilated" in jw
+
+    @pytest.mark.parametrize("geom", GEOMS[:2])
+    def test_gradients_exact(self, geom):
+        conv_fast, conv_ref, x, params = self._pair(*geom)
+
+        def loss(mod):
+            return lambda p, v: jnp.sum(
+                jnp.sin(mod.apply({"params": p}, v)))
+
+        g_fast = jax.grad(loss(conv_fast), argnums=(0, 1))(params, x)
+        g_ref = jax.grad(loss(conv_ref), argnums=(0, 1))(params, x)
+        for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
