@@ -298,6 +298,9 @@ class NormConv1d(nn.Module, _WeightNormMixin):
     # Lane-starved grouped convs (channels-per-group <= 32) auto-route to the
     # space-to-depth batched-GEMM form; False forces lax's grouped conv.
     pack_grouped: bool = True
+    # Opt-in per-tap evaluation of strongly dilated packed convs (measured
+    # slower than block-Toeplitz under XLA; see _packed).
+    pertap_xla: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -337,7 +340,30 @@ class NormConv1d(nn.Module, _WeightNormMixin):
 
     def _packed(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         bsz, t, cin = x.shape
-        p = self.pack
+        p, d, k = self.pack, self.dilation, self.kernel_size
+        r = d * (k - 1) // 2
+        kp = (p - 1 + d * (k - 1) - r) // p + (r + p - 1) // p + 1
+        if self.pertap_xla and k < kp:
+            # Per-tap form: k shifted full-lane dots instead of the kp-tap
+            # block-Toeplitz conv (kp ~ d*(k-1)/p >> k for strongly dilated
+            # taps) -- the MAC argument behind the Pallas per-tap kernels
+            # (pack_conv_weight_pertap), restated as plain differentiable
+            # XLA. MEASURED AND REJECTED as a default (hence the opt-in
+            # flag): on the v5e train step the k per-tap slice-repacks
+            # materialize in HBM and the k separate dots lose XLA's conv
+            # fusion -- dec fwd 5.5 -> 11.6 ms, bwd 10.1 -> 16.7 ms despite
+            # 2.2-2.5x fewer MACs. In Pallas the shifted reads are free
+            # in-register, which is why the same trick wins 15 ms there.
+            xpad = jnp.pad(x, ((0, 0), (r, r), (0, 0)))
+            eye = jnp.eye(p, dtype=self.dtype)
+            wt = jnp.einsum("pq,tio->tpiqo", eye, w).reshape(
+                k, p * cin, p * self.features)
+            y = None
+            for tau in range(k):
+                xs = jax.lax.slice_in_dim(xpad, d * tau, d * tau + t, axis=1)
+                c = xs.reshape(bsz, t // p, p * cin) @ wt[tau]
+                y = c if y is None else y + c
+            return y.reshape(bsz, t, self.features)
         wp, pad_lo, pad_hi = pack_conv_weight(w, self.dilation, p)
         xp = x.reshape(bsz, t // p, p * cin)  # free: row-major bitcast
         y = jax.lax.conv_general_dilated(

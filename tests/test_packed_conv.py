@@ -175,3 +175,62 @@ class TestPackedGroupedConv:
         for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestPerTapPackedConv:
+    """NormConv1d's opt-in per-tap packed path (pertap_xla=True; k < kp:
+    strongly dilated taps take k shifted full-lane dots instead of the
+    kp-tap block-Toeplitz conv): exact forward and gradients vs the direct
+    lowering. Default-off -- measured slower than Toeplitz under XLA (see
+    nn/conv.py) -- but kept correct as a building block."""
+
+    GEOMS = [  # (k, d, p, cin, cout) -- all have k < kp
+        (11, 5, 2, 64, 64),
+        (7, 3, 2, 64, 64),
+        (3, 5, 4, 32, 32),
+        (11, 5, 4, 32, 32),
+    ]
+
+    def _pair(self, k, d, p, cin, cout, seed=0):
+        pad = (k * d - d) // 2
+        fast = NormConv1d(cout, k, padding=pad, dilation=d, pack=p,
+                          pertap_xla=True)
+        ref = NormConv1d(cout, k, padding=pad, dilation=d)
+        x = jax.random.normal(jax.random.key(seed), (2, 32 * p, cin))
+        params = ref.init(jax.random.key(seed + 1), x)["params"]
+        return fast, ref, x, params
+
+    @pytest.mark.parametrize("geom", GEOMS)
+    def test_forward_exact(self, geom):
+        fast, ref, x, params = self._pair(*geom)
+        k, d, p = geom[:3]
+        r = d * (k - 1) // 2
+        kp = (p - 1 + d * (k - 1) - r) // p + (r + p - 1) // p + 1
+        assert k < kp, "geometry must exercise the per-tap branch"
+        want = ref.apply({"params": params}, x)
+        got = fast.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gradients_exact(self):
+        fast, ref, x, params = self._pair(*self.GEOMS[0])
+
+        def loss(mod):
+            return lambda pp, v: jnp.sum(jnp.sin(mod.apply({"params": pp}, v)))
+
+        g_fast = jax.grad(loss(fast), argnums=(0, 1))(params, x)
+        g_ref = jax.grad(loss(ref), argnums=(0, 1))(params, x)
+        for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_toeplitz_kept_when_denser(self):
+        # d=1, k=3, p=4: kp = 3 = k -> block-Toeplitz conv stays even with
+        # the opt-in flag (the k < kp decision rule)
+        conv = NormConv1d(32, 3, padding=1, dilation=1, pack=4,
+                          pertap_xla=True)
+        x = jnp.zeros((1, 64, 32))
+        params = conv.init(jax.random.key(0), x)["params"]
+        jx = str(jax.make_jaxpr(
+            lambda pp, v: conv.apply({"params": pp}, v))(params, x))
+        assert "conv_general_dilated" in jx
