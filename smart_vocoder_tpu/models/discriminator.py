@@ -138,7 +138,12 @@ class MultiPeriodDiscriminator(nn.Module):
 
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        if self.pair_batched and y.shape == y_hat.shape:
+        # Pair batching halves the power-iteration count per apply (one
+        # forward instead of two), so under spectral norm keep the
+        # reference's two-forward trajectory (torch's hook advances u on
+        # every forward, models.py:175).
+        if (self.pair_batched and not self.use_spectral_norm
+                and y.shape == y_hat.shape):
             b = y.shape[0]
             both = jnp.concatenate([y, y_hat], axis=0)
             for d in self.discs:
