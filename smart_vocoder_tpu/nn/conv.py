@@ -381,6 +381,8 @@ class NormConv1d(nn.Module, _WeightNormMixin):
         g, s, k, pad = self.groups, self.stride, self.kernel_size, self.padding
         if not self.pack_grouped or g <= 1 or self.dilation != 1:
             return None
+        if self.features % g:
+            return None  # ragged output groups: leave to the direct lowering
         cg = in_ch // g
         if cg > 32:
             return None  # >= 1/4 lane occupancy already; direct conv is fine

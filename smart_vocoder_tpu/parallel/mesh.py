@@ -71,9 +71,24 @@ def param_shardings(mesh: Mesh, tree: Any):
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch onto the mesh, split over the data axis."""
+    """Place a host batch onto the mesh, split over the data axis.
+
+    Multi-host: each process holds only its sampler shard (``global / P``
+    rows, loop.py's rank-striped BucketSampler), so the global array must be
+    assembled from process-local data -- ``device_put`` would treat the local
+    shard as the full global value and silently train on a per-process-
+    divergent "global" batch.
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch,
+    )
 
 
 def state_shardings(mesh: Mesh, state: Any):
