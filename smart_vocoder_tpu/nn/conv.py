@@ -402,11 +402,12 @@ class NormConv1d(nn.Module, _WeightNormMixin):
         Per group, ``p = 128 // cg`` time steps fold into the lane dimension
         (``p*cg = 128``); the strided conv becomes one
         ``(G, B*T/p, n_rows*p*cg) @ (G, n_rows*p*cg, m*og)`` batched matmul
-        against a block-Toeplitz weight assembled by a constant-index gather
-        (differentiable: the VJP is a scatter-add back onto the kernel).
-        MAC inflation is ``n_rows*p / k`` (~2.3x at the S-discriminator
-        geometry) on FLOPs small enough that full lanes dominate. Exact
-        semantics -- same contraction, reordered.
+        against a block-Toeplitz weight assembled by a constant tap-selection
+        einsum (see _grouped_pack_select: fully differentiable, and its VJP
+        is another einsum rather than the 2.6 ms/step scatter-add a gather
+        build costs). MAC inflation is ``n_rows*p / k`` (~2.3x at the
+        S-discriminator geometry) on FLOPs small enough that full lanes
+        dominate. Exact semantics -- same contraction, reordered.
         """
         bsz, t, cin = x.shape
         g, s, k, pad = self.groups, self.stride, self.kernel_size, self.padding
