@@ -31,7 +31,7 @@ from smart_vocoder_tpu.config import load_config
 from smart_vocoder_tpu.inference import Vocoder
 
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-POINTS = [(1024, 128), (512, 128), (384, 96), (256, 96), (224, 96)]
+POINTS = [(1024, 128), (512, 128), (384, 96), (320, 96), (256, 96), (224, 96)]
 
 
 def main():
@@ -58,11 +58,10 @@ def main():
     print(f"{'chunk':>6} {'ovl':>4} {'step':>5} {'buffer_ms':>10} "
           f"{'compute_ms':>11} {'first_ms':>9} {'rtf_steady':>10} {'redund':>7}",
           flush=True)
+    voc.warmup()  # pre-compile + pre-dispatch every window program
     for chunk, overlap in POINTS:
         step = chunk - 2 * overlap
         mel = rng.normal(-4, 2, (chunk, 80)).astype(np.float32)
-        # one compiled program per chunk size; warm it
-        _ = voc._synth_window(mel, 0, chunk, 0.667, None, 0)
         for i in range(3):
             _ = voc._synth_window(mel + i * 1e-3, 0, chunk, 0.667, None, i)
         t0 = time.perf_counter()

@@ -35,6 +35,7 @@ class Vocoder:
         fold: bool = True,
         use_pallas: bool | None = None,
         use_pallas_wn: bool | None = None,
+        hifi: bool | None = None,
         mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis for
@@ -63,6 +64,15 @@ class Vocoder:
             use_pallas_wn and fold
             and hps.model.hidden_channels % 64 == 0
         )
+        # Serving-fidelity decoder tail (kernels/mrf.py hifi_tail): f32
+        # activations on the two waveform-adjacent stages + 2-pass hi/lo bf16
+        # matmuls on the last -- the benched headline config (mel-L1 0.0087 on
+        # the timed path vs ~0.024 pure-bf16, at ~20% RTF cost). Default ON so
+        # the public API serves exactly what bench.py times; pass hifi=False
+        # for the max-throughput path (bench.py --fast).
+        if hifi is None:
+            hifi = bool(hps.tpu.get("hifi_tail", True))
+        self.hifi = bool(hifi and self.use_pallas and dtype == jnp.bfloat16)
         if fold:
             # Bake g*v/||v|| into plain weights -- the TPU analogue of the
             # reference's remove_weight_norm() before inference (models.py:162).
@@ -78,7 +88,7 @@ class Vocoder:
 
             dec_cfg = DecoderConfig.from_hparams(hps) if self.use_pallas else None
             apply_fn = partial(self._apply_infer_fast, self.net, dec_cfg, dtype,
-                               self.use_pallas_wn)
+                               self.use_pallas_wn, self.hifi)
         else:
             apply_fn = partial(self._apply_infer, self.net)
         self.mesh = mesh
@@ -140,7 +150,7 @@ class Vocoder:
         return o, mask
 
     @staticmethod
-    def _apply_infer_fast(net, dec_cfg, dtype, use_pallas_wn, params, mel,
+    def _apply_infer_fast(net, dec_cfg, dtype, use_pallas_wn, hifi, params, mel,
                           lengths, rng, noise_scale, sid=None, eps=None,
                           batch_offset=0):
         """Prior + reverse flow through the fused-WN functional path
@@ -184,7 +194,7 @@ class Vocoder:
 
             o = decoder_apply(
                 params["dec"], z, dec_cfg, g=g, use_pallas=True, dtype=dtype,
-                interpret=interpret,
+                interpret=interpret, hifi_tail=hifi,
             )
         else:
             o = net.apply({"params": params}, z, g, method=lambda n, z, g: n.dec(z, g=g))
@@ -234,6 +244,19 @@ class Vocoder:
     def _bucket(self, t: int) -> int:
         i = bisect.bisect_left(self.buckets, t)
         return self.buckets[i] if i < len(self.buckets) else t
+
+    def warmup(self, chunks: Optional[Sequence[int]] = None,
+               sid: Optional[np.ndarray] = None) -> None:
+        """Pre-compile AND pre-execute the window program for each chunk size
+        (default: every bucket), so a live session's first request pays
+        neither the 20-40 s compile nor the first-dispatch overhead --
+        first-audio latency becomes the steady-state window compute
+        (docs/ARCHITECTURE.md Live-TTS table). Pass ``sid`` when serving a
+        speaker-conditioned model (a different program signature)."""
+        n_mels = int(self.hps.data.n_mel_channels)
+        for c in chunks or self.buckets:
+            self._synth_window(np.zeros((c, n_mels), np.float32), 0, c,
+                               0.667, sid, 0)
 
     def mel_to_wav(
         self,

@@ -78,6 +78,19 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     assembled from process-local data -- ``device_put`` would treat the local
     shard as the full global value and silently train on a per-process-
     divergent "global" batch.
+
+    Row-order contract (multi-host): ``make_array_from_process_local_data``
+    places process ``p``'s local rows at the data-axis positions of ``p``'s
+    addressable devices, in device-index order. If ``create_device_mesh``
+    interleaves processes along 'data', the resulting GLOBAL row order is a
+    fixed permutation of the sampler's rank-striped order. This is harmless
+    for training -- every loss/gradient reduces over the batch axis, so the
+    step is permutation-invariant -- but two observables may differ from a
+    single-host run with the same seed: (a) row-indexed logging
+    (``image/slice_mel_org`` shows whichever sample landed in global row 0),
+    and (b) bit-level metric parity (f32 reduction order follows row order).
+    tests/test_multiprocess.py pins the 2-process loss trajectory against
+    these semantics.
     """
     sharding = batch_sharding(mesh)
     if jax.process_count() == 1:

@@ -90,8 +90,17 @@ def make_train_step(
     tx_g: optax.GradientTransformation,
     tx_d: optax.GradientTransformation,
     donate: bool = True,
+    emit_images: bool = True,
 ):
-    """Build the jitted train step closure over static config + modules."""
+    """Build the jitted train step closure over static config + modules.
+
+    ``emit_images`` gates the three ``image/*`` metrics. They are slices of
+    tensors the step computes anyway (y_mel / y_hat_mel feed the mel loss),
+    but as step OUTPUTS they are materialized and cross-device-replicated
+    every step (~92 KB/step at B=16x1000), not only at log_interval -- the
+    lazy part is just the host fetch. Kept ON by default (reference TB parity,
+    train.py:230-239); benches and dryruns can turn it off.
+    """
     mel_cfg = MelConfig.from_hparams(hps)
     hop = hps.data.hop_length
     seg_frames = hps.train.segment_size // hop
@@ -225,11 +234,10 @@ def make_train_step(
             metrics[f"loss/d_g/{i}"] = v
         # Training-health mel images (first batch element), logged by the loop
         # every log_interval under the reference's TB names (train.py:230-239).
-        # These are slices of tensors the step already computes (y_mel /
-        # y_hat_mel feed the mel loss) -- fetched lazily only at log time.
-        metrics["image/slice_mel_org"] = y_mel[0].astype(jnp.float32)
-        metrics["image/slice_mel_gen"] = y_hat_mel[0].astype(jnp.float32)
-        metrics["image/all_mel"] = mel[0].astype(jnp.float32)
+        if emit_images:
+            metrics["image/slice_mel_org"] = y_mel[0].astype(jnp.float32)
+            metrics["image/slice_mel_gen"] = y_hat_mel[0].astype(jnp.float32)
+            metrics["image/all_mel"] = mel[0].astype(jnp.float32)
         return new_state, metrics
 
     return train_step

@@ -71,6 +71,40 @@ class TestVocoderPallas:
         wb = b.mel_to_wav(mel, seed=3)[0]
         np.testing.assert_allclose(wb, wa, atol=5e-4)
 
+    def test_vocoder_hifi_knob(self, tmp_path):
+        """The serving-fidelity tail is reachable (and ON by default) through
+        the public Vocoder API, not just bench.py's private closure (advisor
+        round-3 medium finding)."""
+        from test_inference_api import tiny_vocoder
+        from smart_vocoder_tpu.inference import Vocoder
+        from smart_vocoder_tpu.models import build_synthesizer
+
+        hps, _ = tiny_vocoder(tmp_path)
+        hps.model.resblock = "1"
+        hps.model.resblock_kernel_sizes = [3, 7]
+        hps.model.resblock_dilation_sizes = [[1, 3, 5], [1, 3, 5]]
+        net = build_synthesizer(hps)
+        t = 64
+        mel0 = jnp.zeros((1, t, 80))
+        spec0 = jnp.zeros((1, t, 513))
+        lens0 = jnp.full((1,), t, jnp.int32)
+        params = net.init(jax.random.key(0), mel0, lens0, spec0, lens0,
+                          jax.random.key(1))["params"]
+
+        voc = Vocoder(hps, params, dtype=jnp.bfloat16, buckets=(64,),
+                      use_pallas=True)
+        assert voc.hifi, "bf16+pallas Vocoder must default to the benched hifi config"
+        # knob off -> max-throughput path; f32 -> hifi is a no-op, coerced off
+        assert not Vocoder(hps, params, dtype=jnp.bfloat16, buckets=(64,),
+                           use_pallas=True, hifi=False).hifi
+        assert not Vocoder(hps, params, dtype=jnp.float32, buckets=(64,),
+                           use_pallas=True).hifi
+
+        mel = np.random.default_rng(0).normal(-4, 2, (1, 64, 80)).astype(np.float32)
+        wav = voc.mel_to_wav(mel, seed=3)[0]  # interpret-mode Pallas on CPU
+        assert wav.shape == (64 * hps.data.hop_length,)
+        assert np.isfinite(wav).all() and np.abs(wav).max() <= 1.0
+
 
 def test_fold_post_multi_tile_seams():
     """fused_up_mrf_stage with the conv_post tail folded in, forced to n_tiles>1

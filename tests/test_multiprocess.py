@@ -48,13 +48,20 @@ def test_two_process_training(tmp_path):
     model_dir = os.path.join(str(tmp_path), "run_2proc")
     os.makedirs(model_dir, exist_ok=True)
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        coord = f"localhost:{s.getsockname()[1]}"
+    # Hold the OS-assigned port with SO_REUSEADDR until just before the
+    # workers launch: binding, closing early, and reusing later is a TOCTOU
+    # race under parallel CI (another process can grab the freed port).
+    # jax.distributed's coordinator binds with SO_REUSEADDR itself, so it can
+    # take over the instant we close.
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind(("localhost", 0))
+    coord = f"localhost:{s.getsockname()[1]}"
 
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    s.close()
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, coord, str(i), cfg_path, model_dir],
