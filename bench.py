@@ -37,8 +37,49 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def wait_for_backend(attempts: int = 4, probe_timeout: float = 150.0,
+                     sleep_s: float = 60.0) -> str:
+    """Bounded retry around accelerator-backend init.
+
+    The tunneled TPU backend flakes transiently (round 3's driver bench died
+    on ``Unable to initialize backend 'axon': UNAVAILABLE``; the same init can
+    also HANG outright). Probing in a throwaway subprocess makes both failure
+    modes recoverable -- a hung child is killed by the timeout and cannot
+    poison this process, whose own first ``jax.devices()`` only happens after
+    a probe has succeeded. Bounded (~ attempts * (timeout + sleep), <15 min)
+    so a genuinely dead backend still exits rc!=0 for the driver to record.
+    """
+    import os
+    import subprocess
+    import time as _time
+
+    probe_src = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    last = "?"
+    for i in range(attempts):
+        t0 = _time.time()
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", probe_src], capture_output=True,
+                text=True, timeout=probe_timeout, env=dict(os.environ),
+            )
+            if p.returncode == 0 and p.stdout.strip():
+                platform = p.stdout.split()[0]
+                log(f"backend probe ok in {_time.time() - t0:.0f}s: {p.stdout.strip()}")
+                return platform
+            last = (p.stderr.strip() or f"rc={p.returncode}").splitlines()[-1][-300:]
+        except subprocess.TimeoutExpired:
+            last = f"backend init hang (killed after {probe_timeout:.0f}s)"
+        if i < attempts - 1:
+            log(f"backend probe {i + 1}/{attempts} failed: {last}; retry in {sleep_s:.0f}s")
+            _time.sleep(sleep_s)
+    raise RuntimeError(f"accelerator backend unavailable after {attempts} probes: {last}")
+
+
 def main() -> None:
     import os
+
+    if os.environ.get("BENCH_SKIP_PROBE") != "1":
+        wait_for_backend()
 
     cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs", "iitp_base.json")
     hps = load_config(cfg)
@@ -156,11 +197,24 @@ def main() -> None:
         hps, net, params, synth_path_pallas=use_pallas, pallas_wn=use_pallas_wn,
         dtype=dtype, hifi=hifi)
 
+    # MFU: analytic model FLOPs of the synthesis graph (utils/flops.py --
+    # packing/Pallas variants inflate *executed* MACs, and Pallas FLOPs are
+    # invisible to cost_analysis, so the analytic count is the honest
+    # numerator) against v5e bf16 peak.
+    from smart_vocoder_tpu.utils.flops import V5E_BF16_PEAK, synthesis_flops
+
+    model_flops = synthesis_flops(hps, BATCH, FRAMES)
+    tflops = model_flops / dt / 1e12
+    log(f"model FLOPs/step {model_flops / 1e12:.2f} T -> {tflops:.1f} TFLOP/s "
+        f"= {tflops * 1e12 / V5E_BF16_PEAK * 100:.1f}% of v5e bf16 peak")
+
     result = {
         "metric": "rtf_22k05_synthesis",
         "value": round(rtf, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / TARGET_RTF, 3),
+        "achieved_tflops_per_s": round(tflops, 2),
+        "mfu": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
     }
     if mel_l1 is not None:
         result["mel_l1_vs_reference"] = round(mel_l1, 5)

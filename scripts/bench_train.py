@@ -72,6 +72,24 @@ def main():
           f"{audio_sec:.1f}s audio/step, {audio_sec/dt:.0f}x realtime ingest, "
           f"loss {chk:.2f})", flush=True)
 
+    # MFU vs v5e bf16 peak, on analytic model FLOPs (utils/flops.py; bwd
+    # counted as 2x fwd -- packing variants inflate executed MACs and are
+    # deliberately NOT counted). NOTE: wall time over the tunnel includes
+    # ~4-6 ms dispatch overhead; device-busy MFU (the honest number) needs
+    # the xplane profile (scripts/profile_train_xplane.py).
+    from smart_vocoder_tpu.utils.flops import V5E_BF16_PEAK, train_step_flops
+
+    fl = train_step_flops(hps, batch, frames)
+    import json
+
+    print(json.dumps({
+        "metric": "train_step_ms", "value": round(dt * 1e3, 2), "unit": "ms",
+        "audio_x_realtime": round(audio_sec / dt, 1),
+        "model_tflops_per_step": round(fl / 1e12, 3),
+        "achieved_tflops_per_s": round(fl / dt / 1e12, 2),
+        "mfu_wallclock": round(fl / dt / V5E_BF16_PEAK, 4),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
