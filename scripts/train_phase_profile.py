@@ -17,6 +17,11 @@ unscoped arithmetic (Adam, global-norm, loss scalars) lands in `opt/losses`.
 Usage:
     PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
         python scripts/train_phase_profile.py /tmp/train_xplane /tmp/train_hlo.txt 5
+
+``--per-disc`` swaps the phase table for a per-discriminator, per-conv-layer
+breakdown of the ensemble (discriminators_0..5 x convs_0..5/conv_post, fwd
+and bwd separately) -- the resolution needed to see WHERE the D time goes
+(sublane-starved early layers vs fat late GEMMs vs per-op overhead).
 """
 
 import glob
@@ -53,9 +58,47 @@ def classify(op_name: str) -> str:
     return "opt/losses/other"
 
 
+def classify_per_dec(op_name: str) -> str:
+    """Per-stage decoder breakdown: conv_pre, ups_i, s<i>/resblocks (the MRF
+    at stage i = resblocks_{3i..3i+2}), conv_post -- fwd and bwd separately.
+    The resolution needed to target the training decoder's 43/48%-util block
+    (VERDICT r3 next #3): tiny-T stage1 vs XLA-direct stage2 vs
+    Toeplitz-inflated packed stages 3/4 vs the transposed-conv upsamples."""
+    is_bwd = "transpose(jvp" in op_name
+    norm = re.sub(r"transpose\(jvp\(([^)]*)\)\)", r"jvp(\1)", op_name)
+    if "jvp(Generator)" not in norm:
+        return "(non-dec)"
+    tag = "glue"
+    m = re.search(r"resblocks_(\d+)", norm)
+    if m:
+        tag = f"s{int(m.group(1)) // 3}/mrf"
+    else:
+        m = re.search(r"(ups_\d+|conv_pre|conv_post|cond)", norm)
+        if m:
+            tag = m.group(1)
+    return f"{tag} {'bwd' if is_bwd else 'fwd'}"
+
+
+def classify_per_disc(op_name: str) -> str:
+    is_bwd = "transpose(jvp" in op_name
+    norm = re.sub(r"transpose\(jvp\(([^)]*)\)\)", r"jvp(\1)", op_name)
+    if "jvp(MultiPeriodDiscriminator)" not in norm:
+        return "(non-D)"
+    m = re.search(r"discriminators_(\d+)", norm)
+    disc = f"d{m.group(1)}" if m else "d?"
+    m = re.search(r"(convs_\d+|conv_post)", norm)
+    layer = m.group(1) if m else "glue"
+    return f"{disc}/{layer} {'bwd' if is_bwd else 'fwd'}"
+
+
 def main():
-    trace_dir, hlo_path = sys.argv[1], sys.argv[2]
-    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    per_disc = "--per-disc" in sys.argv
+    per_dec = "--per-dec" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--per-disc", "--per-dec")]
+    trace_dir, hlo_path = args[0], args[1]
+    steps = int(args[2]) if len(args) > 2 else 1
+    classify_fn = (classify_per_disc if per_disc
+                   else classify_per_dec if per_dec else classify)
 
     name_to_op = {}
     pat = re.compile(r"^\s*(?:ROOT )?%([\w.\-]+) = .*op_name=\"([^\"]+)\"")
@@ -90,7 +133,7 @@ def main():
                     unmatched_ps += ev.duration_ps
                     continue
                 matched_ps += ev.duration_ps
-                label = classify(op_name)
+                label = classify_fn(op_name)
                 totals[label] = totals.get(label, 0) + ev.duration_ps
 
     ms = lambda ps: ps / 1e12 * 1000 / steps

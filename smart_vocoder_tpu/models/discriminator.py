@@ -24,13 +24,23 @@ class DiscriminatorP(nn.Module):
     with (k, 1) kernels (ref: models.py:170-204).
 
     ``width_mult`` scales channel counts (1.0 == reference widths); used for
-    cheap test variants and capacity sweeps."""
+    cheap test variants and capacity sweeps.
+
+    ``fold_period`` evaluates the stack with the width-``p`` period axis
+    folded into the batch dimension -- bit-identical contraction (a (k, 1)
+    kernel never mixes W; params unchanged), but the convs become 1-D with
+    the long H axis in the sublane dimension instead of W = 2..11 wasting
+    most of each 8-sublane tile. Logits keep the exact reference flatten
+    order; fmaps come out (B, p, H, C) instead of (B, H, p, C) -- the same
+    elements, so the feature-matching L1 (a mean, losses.py:7-15) is
+    unchanged."""
 
     period: int
     kernel_size: int = 5
     stride: int = 3
     width_mult: float = 1.0
     use_spectral_norm: bool = False
+    fold_period: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -41,7 +51,11 @@ class DiscriminatorP(nn.Module):
             n_pad = self.period - (t % self.period)
             x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
             t = t + n_pad
-        x = x.reshape(b, t // self.period, self.period, c)  # NHWC
+        h = t // self.period
+        x = x.reshape(b, h, self.period, c)  # NHWC
+        if self.fold_period:
+            # (B, H, p, C) -> (B*p, H, C): W never mixes under (k, 1) kernels
+            x = x.transpose(0, 2, 1, 3).reshape(b * self.period, h, c)
 
         sn = self.use_spectral_norm
         pad = _get_padding(self.kernel_size, 1)
@@ -54,9 +68,15 @@ class DiscriminatorP(nn.Module):
                 dtype=self.dtype, name=f"convs_{i}",
             )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            fmap.append(x)
+            fmap.append(x.reshape(b, self.period, -1, ch)
+                        if self.fold_period else x)
         x = NormConv2d(1, (3, 1), (1, 1), (1, 0), weight_norm=not sn,
                        spectral_norm=sn, dtype=self.dtype, name="conv_post")(x)
+        if self.fold_period:
+            x = x.reshape(b, self.period, -1, 1)
+            fmap.append(x)
+            # restore the reference's (B, H', p) row-major flatten order
+            return x[..., 0].transpose(0, 2, 1).reshape(b, -1), fmap
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -119,6 +139,8 @@ class MultiPeriodDiscriminator(nn.Module):
     # batch-parallel), half the op count, and the late small-spatial layers
     # (101 rows at B=16) get a 2x fatter GEMM M dimension.
     pair_batched: bool = True
+    # Fold each P-discriminator's period axis into batch (see DiscriminatorP)
+    fold_period: bool = True
     dtype: jnp.dtype = jnp.float32
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)  # reference models.py:238
 
@@ -131,6 +153,7 @@ class MultiPeriodDiscriminator(nn.Module):
         discs += [
             DiscriminatorP(p, width_mult=self.width_mult,
                            use_spectral_norm=self.use_spectral_norm,
+                           fold_period=self.fold_period,
                            dtype=self.dtype, name=f"discriminators_{i + 1}")
             for i, p in enumerate(periods)
         ]

@@ -519,7 +519,14 @@ class NormConvTranspose1d(nn.Module, _WeightNormMixin):
 
 class NormConv2d(nn.Module, _WeightNormMixin):
     """2-D conv over ``(B, H, W, C)`` for the period discriminators
-    (models.py:176-183)."""
+    (models.py:176-183).
+
+    Alternatively accepts a 3-D ``(B', H, C)`` input when ``kernel_size[1] ==
+    1`` and runs the identical contraction as a 1-D conv along H (parameters
+    and math unchanged). The period discriminators use this to fold their
+    width-``p`` period axis into the batch: a ``(k, 1)`` kernel never mixes
+    the W axis, and W = 2..11 as the second-minor (sublane) dim of an NHWC
+    conv wastes most of each 8-sublane tile, while H is large."""
 
     features: int
     kernel_size: tuple[int, int]
@@ -539,14 +546,24 @@ class NormConv2d(nn.Module, _WeightNormMixin):
         w = self._weight(shape, fan_in, zero_init=False)
         b = self._bias(self.features, fan_in)
 
-        w = jnp.transpose(w, (2, 3, 1, 0)).astype(self.dtype)  # -> HWIO
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            w,
-            window_strides=self.stride,
-            padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if x.ndim == 3:
+            assert kw == 1 and self.stride[1] == 1 and self.padding[1] == 0, (
+                "3-D input requires a width-degenerate (k, 1) kernel")
+            w1 = jnp.transpose(w[..., 0], (2, 1, 0)).astype(self.dtype)  # HIO
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w1, (self.stride[0],),
+                [(self.padding[0], self.padding[0])],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+        else:
+            wt = jnp.transpose(w, (2, 3, 1, 0)).astype(self.dtype)  # -> HWIO
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                wt,
+                window_strides=self.stride,
+                padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if b is not None:
             y = y + b.astype(self.dtype)
         return y
