@@ -15,9 +15,13 @@ import sys
 
 
 def parse(log_path):
-    rows = []
+    rows, evals = [], []
     with open(log_path) as f:
         for line in f:
+            e = re.search(r"eval step (\d+): mel_l1 ([\d.]+)", line)
+            if e:
+                evals.append((int(e.group(1)), float(e.group(2))))
+                continue
             m = re.search(r"\tINFO\t(\[.*\])\s*$", line)
             if not m:
                 continue
@@ -27,7 +31,7 @@ def parse(log_path):
                 continue
             if len(vals) == 7:
                 rows.append(vals)
-    return rows
+    return rows, evals
 
 
 def main():
@@ -35,7 +39,7 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "CONVERGENCE.md"
     every = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 
-    rows = parse(os.path.join(model_dir, "train.log"))
+    rows, evals = parse(os.path.join(model_dir, "train.log"))
     if not rows:
         sys.exit(f"no loss rows found in {model_dir}/train.log")
 
@@ -53,6 +57,12 @@ def main():
         for d, g, fm, mel, kl, step, lr in picked:
             f.write(f"| {step} | {d:.3f} | {g:.3f} | {fm:.3f} | {mel:.3f} "
                     f"| {kl:.3f} | {lr:.6f} |\n")
+        if evals:
+            f.write("\nCopy-synthesis quality trend (eval/mel_l1, full-utterance"
+                    " infer through the sampling path at eval_interval):\n\n"
+                    "| step | eval/mel_l1 |\n|---|---|\n")
+            for step, v in evals:
+                f.write(f"| {step} | {v:.4f} |\n")
     first, last = rows[0], rows[-1]
     print(f"wrote {out}: steps {first[5]}..{last[5]}, "
           f"mel {first[3]:.2f} -> {last[3]:.2f}, "

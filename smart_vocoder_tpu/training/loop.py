@@ -189,6 +189,7 @@ def run(hps, max_steps: Optional[int] = None) -> None:
                 # every process participates in a sharded save (chief-only
                 # device_get would fail on non-addressable shards)
                 mngr.save(global_step, state, epoch)
+                _export_torch_ckpts(hps, state, global_step, lr, logger)
                 last_saved_step = global_step
 
             global_step += 1
@@ -196,6 +197,7 @@ def run(hps, max_steps: Optional[int] = None) -> None:
                 profiler.close()
                 if global_step != last_saved_step:
                     mngr.save(global_step, state, epoch)
+                    _export_torch_ckpts(hps, state, global_step, lr, logger)
                 mngr.wait()
                 return
 
@@ -204,12 +206,50 @@ def run(hps, max_steps: Optional[int] = None) -> None:
 
     if global_step != last_saved_step:
         mngr.save(global_step, state, hps.train.epochs)
+        _export_torch_ckpts(hps, state, global_step,
+                            lr_for_epoch(hps, hps.train.epochs), logger)
     mngr.wait()
 
 
-def _infer_apply(net_g, params_g, mel, lengths, rng, max_len=None):
+def _export_torch_ckpts(hps, state, step: int, lr: float, logger) -> None:
+    """Mirror each orbax save as reference-format ``G_<step>.pth`` /
+    ``D_<step>.pth`` in the model dir (chief only).
+
+    Reference tooling globs ``G_*.pth`` there (utils.py:70-75, saves at
+    train.py:243-244); with this, a reference consumer pointed at
+    ``logs/<model>/`` finds working checkpoints (loadable by the reference's
+    own ``load_checkpoint`` -- tests/test_e2e_training.py). Orbax remains the
+    resumable source of truth (optimizer state is not portable, so the .pth
+    carries an empty optimizer dict). Disable with ``tpu.export_torch_ckpt:
+    false``. Skipped (once, with a warning) when param shards are not all
+    chief-addressable (multi-host model parallelism).
+    """
+    import os
+
+    if not bool(hps.tpu.get("export_torch_ckpt", True)) or jax.process_index() != 0:
+        return
+    if any(not getattr(x, "is_fully_addressable", True)
+           for x in jax.tree.leaves((state.params_g, state.params_d))):
+        if logger and not getattr(_export_torch_ckpts, "_warned", False):
+            _export_torch_ckpts._warned = True
+            logger.warning(
+                ".pth export skipped: params not fully chief-addressable "
+                "(multi-host model parallelism); use orbax + the export CLI")
+        return
+    from smart_vocoder_tpu.utils.torch_compat import save_torch_checkpoint
+
+    for tag, params in (("G", state.params_g), ("D", state.params_d)):
+        path = os.path.join(hps.model_dir, f"{tag}_{step}.pth")
+        save_torch_checkpoint(path, jax.device_get(params),
+                              iteration=step, learning_rate=lr)
+    if logger:
+        logger.info("Saving model and optimizer state at iteration %d to "
+                    "%s/G_%d.pth (+D)", step, hps.model_dir, step)
+
+
+def _infer_apply(net_g, params_g, mel, lengths, rng, sid=None, max_len=None):
     return net_g.apply(
-        {"params": params_g}, mel, lengths, rng,
+        {"params": params_g}, mel, lengths, rng, sid=sid,
         noise_scale=1.0, max_len=max_len, method=SynthesizerTrn.infer,
     )
 
@@ -233,13 +273,25 @@ def _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg, writer_eval,
     else:
         mel = mel[:, :max_len]
     lens = jnp.minimum(batch.spec_lengths[:1], max_len)
+    # Speaker-conditioned models evaluate with the sample's own sid (the
+    # reference's evaluate() drops sid entirely, train.py:273 -- that would
+    # copy-synthesize every eval through the null speaker embedding and make
+    # the eval mel-L1 trend meaningless in use_spk_embed mode).
+    sid = batch.sid[:1] if getattr(batch, "sid", None) is not None else None
     y_hat, mask, _ = infer_fn(
-        state.params_g, mel, lens, jax.random.key(0), max_len=max_len,
+        state.params_g, mel, lens, jax.random.key(0), sid=sid, max_len=max_len,
     )
     y_hat = np.asarray(jax.device_get(y_hat), dtype=np.float32)
     y_hat_len = int(np.asarray(mask).sum() * hps.data.hop_length)
 
     y_hat_mel = mel_spectrogram(jnp.asarray(y_hat[..., 0]), mel_cfg)
+    # Copy-synthesis mel-L1 over the valid frames: the per-eval quality
+    # scalar behind CONVERGENCE.md's trend table (VERDICT r3 next #6). The
+    # generated mel is one frame shorter than the (center=False) input mel
+    # grid at equal sample counts; compare the overlap.
+    n_valid = min(int(lens[0]), y_hat_mel.shape[1])
+    mel_l1 = float(jnp.mean(jnp.abs(
+        y_hat_mel[0, :n_valid] - mel[0, :n_valid])))
     images = {
         "gen/mel": logging_utils.plot_spectrogram_to_numpy(
             np.asarray(y_hat_mel[0]).T
@@ -253,5 +305,10 @@ def _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg, writer_eval,
 
     logging_utils.summarize(
         writer_eval, global_step, images=images, audios=audios,
+        scalars={"eval/mel_l1": mel_l1},
         audio_sampling_rate=hps.data.sampling_rate,
     )
+    # also to train.log (the model-dir logger), so report_convergence.py gets
+    # the quality trend without a TB event reader
+    logging_utils.get_logger(hps.model_dir).info(
+        "eval step %d: mel_l1 %.4f", global_step, mel_l1)

@@ -81,11 +81,24 @@ def try_resume(mngr: CheckpointManager, abstract_state: Any):
     that was RUNNING at save time; the caller resumes into that same epoch
     and skips the batches already consumed (derivable from state.step and the
     deterministic epoch-seeded sampler order) instead of jumping to epoch+1
-    and silently dropping the remainder."""
+    and silently dropping the remainder.
+
+    A fresh directory (no checkpoints yet) is the normal fresh-start case and
+    stays silent. Anything else -- a checkpoint exists but failed to load
+    (corruption, structure mismatch) -- is logged at WARNING before falling
+    back to a fresh start, instead of the reference's silent bare try/except
+    (train.py:101-107) that would quietly restart a long run at step 0."""
+    import logging
+
     try:
         state, epoch, _ = mngr.restore(abstract_state)
         return state, max(1, epoch), True
-    except Exception:  # noqa: BLE001 -- mirrors the reference's bare try/except
+    except FileNotFoundError:
+        return abstract_state, 1, False  # no checkpoints yet: normal fresh start
+    except Exception as e:  # noqa: BLE001 -- deliberate catch-all fallback
+        logging.getLogger("smart_vocoder_tpu").warning(
+            "resume failed from %s (latest step %s): %s: %s -- starting fresh "
+            "at step 0", mngr.directory, mngr.latest_step(), type(e).__name__, e)
         return abstract_state, 1, False
 
 
