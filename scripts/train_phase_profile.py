@@ -66,7 +66,7 @@ def classify_per_dec(op_name: str) -> str:
     Toeplitz-inflated packed stages 3/4 vs the transposed-conv upsamples."""
     is_bwd = "transpose(jvp" in op_name
     norm = re.sub(r"transpose\(jvp\(([^)]*)\)\)", r"jvp(\1)", op_name)
-    if "jvp(Generator)" not in norm:
+    if "jvp(SynthesizerTrn)/dec" not in norm:
         return "(non-dec)"
     tag = "glue"
     m = re.search(r"resblocks_(\d+)", norm)
