@@ -241,6 +241,10 @@ class SynthesizerTrn(nn.Module):
     n_mels: int = 80
     dtype: jnp.dtype = jnp.float32
     weight_norm: bool = True
+    # Space-to-depth packing of the decoder's lane-starved late stages
+    # (Generator.channel_pack). Exact math either way; a pure layout choice,
+    # A/B-able per process via tpu.channel_pack (scripts/ab_dec_pack.py).
+    channel_pack: bool = True
 
     def setup(self):
         self.enc_p = MelEncoder(
@@ -253,7 +257,8 @@ class SynthesizerTrn(nn.Module):
             self.inter_channels, self.resblock, self.resblock_kernel_sizes,
             self.resblock_dilation_sizes, self.upsample_rates,
             self.upsample_initial_channel, self.upsample_kernel_sizes,
-            gin_channels=self.gin_channels, dtype=self.dtype, weight_norm=self.weight_norm,
+            gin_channels=self.gin_channels, channel_pack=self.channel_pack,
+            dtype=self.dtype, weight_norm=self.weight_norm,
         )
         self.enc_q = PosteriorEncoder(
             self.spec_channels, self.inter_channels, self.hidden_channels,
@@ -369,4 +374,5 @@ def build_synthesizer(hps, dtype=jnp.float32, weight_norm: bool = True) -> Synth
         n_mels=hps.data.n_mel_channels,
         dtype=dtype,
         weight_norm=weight_norm,
+        channel_pack=bool(hps.tpu.get("channel_pack", True)) if "tpu" in hps else True,
     )

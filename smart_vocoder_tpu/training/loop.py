@@ -242,6 +242,19 @@ def _export_torch_ckpts(hps, state, step: int, lr: float, logger) -> None:
         path = os.path.join(hps.model_dir, f"{tag}_{step}.pth")
         save_torch_checkpoint(path, jax.device_get(params),
                               iteration=step, learning_rate=lr)
+    # Apply the same keep-latest-N retention orbax enforces (keep_ckpts), so
+    # the mirror set always equals the restorable orbax step set.
+    keep = int(hps.tpu.get("keep_ckpts", 0))
+    if keep > 0:
+        for tag in ("G", "D"):
+            steps = sorted(
+                int(f[len(tag) + 1:-4])
+                for f in os.listdir(hps.model_dir)
+                if f.startswith(f"{tag}_") and f.endswith(".pth")
+                and f[len(tag) + 1:-4].isdigit()
+            )
+            for old in steps[:-keep]:
+                os.remove(os.path.join(hps.model_dir, f"{tag}_{old}.pth"))
     if logger:
         logger.info("Saving model and optimizer state at iteration %d to "
                     "%s/G_%d.pth (+D)", step, hps.model_dir, step)
