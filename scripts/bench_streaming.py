@@ -31,7 +31,13 @@ from smart_vocoder_tpu.config import load_config
 from smart_vocoder_tpu.inference import Vocoder
 
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-POINTS = [(1024, 128), (512, 128), (384, 96), (320, 96), (256, 96), (224, 96)]
+# Round-4 sweep extends BELOW 384/96 (VERDICT r3 next #9): overlaps under the
+# ~96-frame analytic receptive radius are approximate at seams -- the `seam`
+# column measures it (max |chunked - full| / RMS(full) on a 1536-frame decode
+# with position-pinned noise), so the table shows exactly what each latency
+# point costs in fidelity.
+POINTS = [(1024, 128), (512, 128), (384, 96), (320, 96), (256, 96), (224, 96),
+          (256, 64), (224, 64), (192, 64), (160, 48), (128, 48)]
 
 
 def main():
@@ -55,9 +61,20 @@ def main():
                   fold=True, use_pallas=True)
 
     rng = np.random.default_rng(0)
+
+    # seam-fidelity reference: one long decode with position-pinned noise --
+    # identical to what chunked windows reconstruct when overlap covers the
+    # receptive radius, so any deviation is pure seam error
+    t_full = 1536
+    mel_long = rng.normal(-4, 2, (t_full, 80)).astype(np.float32)
+    eps_full = voc._positional_eps(0, 0, t_full)
+    full = voc.mel_to_wav(mel_long[None], np.array([t_full]),
+                          noise_scale=0.667, eps=eps_full[None])[0]
+    full_rms = float(np.sqrt(np.mean(full ** 2)))
+
     print(f"{'chunk':>6} {'ovl':>4} {'step':>5} {'buffer_ms':>10} "
-          f"{'compute_ms':>11} {'first_ms':>9} {'rtf_steady':>10} {'redund':>7}",
-          flush=True)
+          f"{'compute_ms':>11} {'first_ms':>9} {'rtf_steady':>10} "
+          f"{'redund':>7} {'seam':>9}", flush=True)
     voc.warmup()  # pre-compile + pre-dispatch every window program
     for chunk, overlap in POINTS:
         step = chunk - 2 * overlap
@@ -68,15 +85,18 @@ def main():
         for i in range(ITERS):
             w = voc._synth_window(mel + (100 + i) * 1e-3, i, chunk, 0.667,
                                   None, i)
-        # _synth_window -> mel_to_wav does a real device_get (host barrier)
+        # _synth_window does a real device_get (host barrier)
         wall = (time.perf_counter() - t0) / ITERS
         buffer_ms = (chunk - overlap) * hop / sr * 1e3
         compute_ms = wall * 1e3
         rtf = (step * hop / sr) / wall
         redund = chunk / step
+        ck = voc.mel_to_wav_chunked(mel_long, chunk=chunk, overlap=overlap,
+                                    noise_scale=0.667, seed=0)
+        seam = float(np.max(np.abs(ck - full))) / full_rms
         print(f"{chunk:>6} {overlap:>4} {step:>5} {buffer_ms:>10.0f} "
               f"{compute_ms:>11.1f} {buffer_ms + compute_ms:>9.0f} "
-              f"{rtf:>10.0f} {redund:>7.1f}x", flush=True)
+              f"{rtf:>10.0f} {redund:>7.1f}x {seam:>9.1e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -127,6 +127,23 @@ class Vocoder:
         return jax.jit(infer, static_argnames=("noise_scale",))
 
     @staticmethod
+    def _positional_eps_graph(rng, start, b, t, c):
+        """In-graph twin of ``_positional_eps``: frame ``start + i`` draws
+        ``normal(fold_in(rng, start + i))`` -- bit-identical to the host-side
+        helper, but traced into the infer program so a streaming window costs
+        ONE dispatch + ONE readback instead of two of each (the eps program's
+        round-trip dominates B=1 window latency over a tunneled backend).
+        Frames beyond the true window length get noise instead of the
+        host path's zero padding; both are masked out of every valid output
+        sample (pre/WN/post are mask-multiplied, nn/coupling.py:55-74)."""
+        idx = start + jnp.arange(t)
+        eps = jax.vmap(
+            lambda i: jax.random.normal(jax.random.fold_in(rng, i), (c,),
+                                        jnp.float32)
+        )(idx)
+        return jnp.broadcast_to(eps[None], (b, t, c))
+
+    @staticmethod
     def _batch_eps(rng, offset, b, t, c):
         """Prior noise derived per global batch element: row i draws from
         ``fold_in(rng, offset + i)``, so the noise a given element sees is
@@ -139,10 +156,15 @@ class Vocoder:
 
     @staticmethod
     def _apply_infer(net, params, mel, lengths, rng, noise_scale, sid=None,
-                     eps=None, batch_offset=0):
+                     eps=None, batch_offset=0, eps_start=None):
         if eps is None:
-            eps = Vocoder._batch_eps(rng, batch_offset, mel.shape[0],
-                                     mel.shape[1], net.inter_channels)
+            if eps_start is not None:
+                eps = Vocoder._positional_eps_graph(
+                    rng, eps_start, mel.shape[0], mel.shape[1],
+                    net.inter_channels)
+            else:
+                eps = Vocoder._batch_eps(rng, batch_offset, mel.shape[0],
+                                         mel.shape[1], net.inter_channels)
         o, mask, _ = net.apply(
             {"params": params}, mel, lengths, rng,
             sid=sid, noise_scale=noise_scale, eps=eps, method=SynthesizerTrn.infer,
@@ -152,7 +174,7 @@ class Vocoder:
     @staticmethod
     def _apply_infer_fast(net, dec_cfg, dtype, use_pallas_wn, hifi, params, mel,
                           lengths, rng, noise_scale, sid=None, eps=None,
-                          batch_offset=0):
+                          batch_offset=0, eps_start=None):
         """Prior + reverse flow through the fused-WN functional path
         (kernels/encoder.py), decoder through the fused MRF fast path
         (kernels/decoder.py); either piece falls back to the module graph
@@ -162,8 +184,13 @@ class Vocoder:
         interpret = jax.default_backend() != "tpu"  # CPU runs the interpreter
         conditioned = net.use_spk_embed and sid is not None
         if eps is None:
-            eps = Vocoder._batch_eps(rng, batch_offset, mel.shape[0],
-                                     mel.shape[1], net.inter_channels)
+            if eps_start is not None:
+                eps = Vocoder._positional_eps_graph(
+                    rng, eps_start, mel.shape[0], mel.shape[1],
+                    net.inter_channels)
+            else:
+                eps = Vocoder._batch_eps(rng, batch_offset, mel.shape[0],
+                                         mel.shape[1], net.inter_channels)
 
         if use_pallas_wn and not conditioned:
             mask = sequence_mask(lengths, mel.shape[1]).astype(dtype)
@@ -329,17 +356,38 @@ class Vocoder:
     def _synth_window(self, mel_win: np.ndarray, lo: int, chunk: int,
                       noise_scale: float, sid, seed: int) -> np.ndarray:
         """Decode one window (absolute frames [lo, lo+len)) padded to
-        ``chunk`` frames -- one compiled program serves every window."""
+        ``chunk`` frames -- one compiled program serves every window.
+
+        mesh=None derives the positional prior noise IN-GRAPH
+        (``_positional_eps_graph``): one dispatch + one readback per window,
+        ~2x fewer tunnel round-trips than materializing eps host-side --
+        that round-trip was the dominant term in B=1 first-audio latency
+        (docs/ARCHITECTURE.md Live-TTS table). Output matches the host-eps
+        path to ULP tolerance (same fold_in stream; padded frames are
+        masked; only compiler fusion reorders f32 rounding)."""
         n = mel_win.shape[0]
-        eps = self._positional_eps(seed, lo, chunk)[:n]
+        if self.mesh is not None:  # sharded program keeps the host-eps path
+            eps = self._positional_eps(seed, lo, chunk)[:n]
+            pad = chunk - n
+            if pad > 0:
+                mel_win = np.pad(mel_win, ((0, pad), (0, 0)))
+                eps = np.pad(eps, ((0, pad), (0, 0)))
+            return self.mel_to_wav(
+                mel_win[None], np.array([n]), noise_scale=noise_scale,
+                sid=sid, seed=seed, eps=eps[None],
+            )[0]
         pad = chunk - n
         if pad > 0:
-            mel_win = np.pad(mel_win, ((0, pad), (0, 0)))
-            eps = np.pad(eps, ((0, pad), (0, 0)))
-        return self.mel_to_wav(
-            mel_win[None], np.array([n]), noise_scale=noise_scale,
-            sid=sid, seed=seed, eps=eps[None],
-        )[0]
+            mel_win = np.pad(np.asarray(mel_win, np.float32), ((0, pad), (0, 0)))
+        o, _ = self._infer(
+            self.params, jnp.asarray(mel_win, jnp.float32)[None],
+            jnp.full((1,), n, jnp.int32), jax.random.key(seed),
+            noise_scale=noise_scale,
+            sid=None if sid is None else jnp.asarray(sid, jnp.int32),
+            eps=None, eps_start=jnp.int32(lo),
+        )
+        hop = self.hps.data.hop_length
+        return np.asarray(jax.device_get(o), np.float32)[0, : n * hop, 0]
 
     def mel_to_wav_chunked(
         self,

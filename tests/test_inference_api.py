@@ -213,6 +213,28 @@ class TestStreaming:
         # the first piece covers step = chunk - 2*overlap frames of audio
         assert first.shape == ((chunk - 2 * overlap) * 256,)
 
+    def test_window_ingraph_eps_matches_host_eps(self, tmp_path):
+        """_synth_window's in-graph positional eps (one dispatch/readback per
+        window) matches materializing the same positional noise host-side and
+        passing it through ``mel_to_wav(eps=...)`` to ULP-level tolerance
+        (same fold_in stream; only compiler fusion of the in-graph normal
+        draw reorders f32 rounding) -- the round-4 streaming-latency change
+        must not perceptibly move any sample."""
+        hps, params = tiny_vocoder(tmp_path)
+        voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(128,))
+        rng = np.random.default_rng(7)
+        n, chunk, lo, seed = 90, 128, 55, 3
+        mel = rng.normal(-4, 2, size=(n, 80)).astype(np.float32)
+
+        got = voc._synth_window(mel, lo, chunk, 0.7, None, seed)
+
+        eps = voc._positional_eps(seed, lo, chunk)[:n]
+        mel_p = np.pad(mel, ((0, chunk - n), (0, 0)))
+        eps_p = np.pad(eps, ((0, chunk - n), (0, 0)))
+        want = voc.mel_to_wav(mel_p[None], np.array([n]), noise_scale=0.7,
+                              seed=seed, eps=eps_p[None])[0]
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
     def test_stream_short_input_single_window(self, tmp_path):
         hps, params = tiny_vocoder(tmp_path)
         voc = Vocoder(hps, params, dtype=jnp.float32, buckets=(64, 128))
