@@ -33,7 +33,7 @@ def main():
     hop = hps.data.hop_length
 
     dtype = jnp.bfloat16
-    net_g = build_synthesizer(hps, dtype=dtype)
+    net_g = build_synthesizer(hps, dtype=dtype, training=True)
     net_d = MultiPeriodDiscriminator(dtype=dtype)
     tx_g, tx_d = make_optimizer(hps), make_optimizer(hps)
 

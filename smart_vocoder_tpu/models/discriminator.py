@@ -33,14 +33,20 @@ class DiscriminatorP(nn.Module):
     most of each 8-sublane tile. Logits keep the exact reference flatten
     order; fmaps come out (B, p, H, C) instead of (B, H, p, C) -- the same
     elements, so the feature-matching L1 (a mean, losses.py:7-15) is
-    unchanged."""
+    unchanged.
+
+    Default OFF: measured on v5e (scripts/ab_disc_fold.py, both variants in
+    one process, full GAN step B=16x1000) the fold ran 317.4 ms/step vs
+    69.6 ms unfolded -- 4.5x SLOWER (and a 928 s compile). XLA already
+    handles the W=p layout well; the fold's transposes + B*p batch dominate.
+    Kept as a tested opt-in documenting the rejection."""
 
     period: int
     kernel_size: int = 5
     stride: int = 3
     width_mult: float = 1.0
     use_spectral_norm: bool = False
-    fold_period: bool = True
+    fold_period: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,8 +145,9 @@ class MultiPeriodDiscriminator(nn.Module):
     # batch-parallel), half the op count, and the late small-spatial layers
     # (101 rows at B=16) get a 2x fatter GEMM M dimension.
     pair_batched: bool = True
-    # Fold each P-discriminator's period axis into batch (see DiscriminatorP)
-    fold_period: bool = True
+    # Fold each P-discriminator's period axis into batch -- measured 4.5x
+    # SLOWER on v5e, default OFF (see DiscriminatorP docstring)
+    fold_period: bool = False
     dtype: jnp.dtype = jnp.float32
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)  # reference models.py:238
 

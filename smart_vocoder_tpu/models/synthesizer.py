@@ -353,8 +353,21 @@ class SynthesizerTrn(nn.Module):
         return o_hat, y_mask, (z, z_p, z_hat)
 
 
-def build_synthesizer(hps, dtype=jnp.float32, weight_norm: bool = True) -> SynthesizerTrn:
-    """Construct from an HParams config exactly as train.py:82-86 does."""
+def build_synthesizer(hps, dtype=jnp.float32, weight_norm: bool = True,
+                      training: bool = False) -> SynthesizerTrn:
+    """Construct from an HParams config exactly as train.py:82-86 does.
+
+    ``training`` picks the decoder channel-pack default: the space-to-depth
+    pack is exact math either way (params identical), but it is a LAYOUT
+    choice whose win is shape-dependent -- measured on v5e it wins full-model
+    serving (B=32 x 1000 frames: 92.5 vs 113.4 ms/step) and loses the
+    training step's 32-frame slice decode badly (197.9 vs 68.7 ms/step,
+    scripts/ab_dec_pack.py, both variants in one process). An explicit
+    ``tpu.channel_pack`` in the config overrides both defaults."""
+    if "tpu" in hps and "channel_pack" in hps.tpu:
+        channel_pack = bool(hps.tpu.channel_pack)
+    else:
+        channel_pack = not training
     return SynthesizerTrn(
         spec_channels=hps.data.filter_length // 2 + 1,
         segment_size=hps.train.segment_size // hps.data.hop_length,
@@ -374,5 +387,5 @@ def build_synthesizer(hps, dtype=jnp.float32, weight_norm: bool = True) -> Synth
         n_mels=hps.data.n_mel_channels,
         dtype=dtype,
         weight_norm=weight_norm,
-        channel_pack=bool(hps.tpu.get("channel_pack", True)) if "tpu" in hps else True,
+        channel_pack=channel_pack,
     )

@@ -87,7 +87,7 @@ def run(hps, max_steps: Optional[int] = None) -> None:
         eval_loader = BucketedLoader(eval_dataset, eval_sampler, with_sid=use_sid)
 
     dtype = jnp.bfloat16 if hps.tpu.bf16_run else jnp.float32
-    net_g = build_synthesizer(hps, dtype=dtype)
+    net_g = build_synthesizer(hps, dtype=dtype, training=True)
     net_d = MultiPeriodDiscriminator(
         hps.model.get("use_spectral_norm", False),
         width_mult=float(hps.model.get("disc_width_mult", 1.0)),
