@@ -36,8 +36,8 @@ ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 # column measures it (max |chunked - full| / RMS(full) on a 1536-frame decode
 # with position-pinned noise), so the table shows exactly what each latency
 # point costs in fidelity.
-POINTS = [(1024, 128), (512, 128), (384, 96), (320, 96), (256, 96), (224, 96),
-          (256, 64), (224, 64), (192, 64), (160, 48), (128, 48)]
+POINTS = [(1024, 128), (384, 96), (256, 96),
+          (256, 64), (224, 64), (192, 64), (160, 48)]
 
 
 def main():
