@@ -56,7 +56,14 @@ def main():
     ))
     b = make(jax.random.key(0))
 
-    results = {}
+    # Compile BOTH variants first, then time them in interleaved blocks
+    # (ABAB...): tunnel throughput drifts over minutes, so sequential
+    # leg-after-leg timing confounds the variant with the drift -- the
+    # round-4 sequential runs showed a consistent "first leg slower"
+    # pattern. Interleaving cancels it; per-block times are printed so any
+    # residual drift is visible.
+    compiled = {}
+    loss0s = {}
     for pack in (True, False):
         hps.tpu.channel_pack = pack
         net_g = build_synthesizer(hps, dtype=dtype)
@@ -72,22 +79,33 @@ def main():
                                        donate=False))
         t0 = time.time()
         _, metrics = step(state, b, jax.random.key(2))
-        loss0 = float(metrics["loss/g/total"])
+        loss0s[pack] = float(metrics["loss/g/total"])
         print(f"[pack={pack}] compile+step {time.time() - t0:.1f}s; "
-              f"loss/g/total {loss0:.4f}", flush=True)
+              f"loss/g/total {loss0s[pack]:.4f}", flush=True)
+        compiled[pack] = (step, state)
 
-        st = state
-        t0 = time.perf_counter()
-        for i in range(iters):
-            st, metrics = step(st, b, jax.random.fold_in(jax.random.key(3), i))
-        chk = float(metrics["loss/g/total"])  # host fetch = barrier
-        dt = (time.perf_counter() - t0) / iters * 1e3
-        print(f"[pack={pack}] {dt:.1f} ms/step (loss {chk:.3f})", flush=True)
-        results[pack] = (dt, loss0)
+    blocks = {True: [], False: []}
+    n_blocks = 4
+    for blk in range(n_blocks):
+        for pack in (True, False) if blk % 2 == 0 else (False, True):
+            step, st = compiled[pack]
+            t0 = time.perf_counter()
+            for i in range(iters):
+                st, metrics = step(st, b,
+                                   jax.random.fold_in(jax.random.key(3),
+                                                      blk * iters + i))
+            chk = float(metrics["loss/g/total"])  # host fetch = barrier
+            dt = (time.perf_counter() - t0) / iters * 1e3
+            compiled[pack] = (step, st)
+            blocks[pack].append(dt)
+            print(f"[blk {blk} pack={pack}] {dt:.1f} ms/step "
+                  f"(loss {chk:.3f})", flush=True)
 
-    (dt_p, l_p), (dt_u, l_u) = results[True], results[False]
-    print(f"\npack ON {dt_p:.1f} ms | pack OFF {dt_u:.1f} ms | "
-          f"OFF/ON {dt_p / dt_u:.3f}x | init-loss delta {abs(l_p - l_u):.5f}")
+    med = {p: sorted(v)[len(v) // 2] for p, v in blocks.items()}
+    print(f"\npack ON median {med[True]:.1f} ms {blocks[True]} | "
+          f"pack OFF median {med[False]:.1f} ms {blocks[False]} | "
+          f"ON/OFF {med[True] / med[False]:.3f}x | "
+          f"init-loss delta {abs(loss0s[True] - loss0s[False]):.5f}")
 
 
 if __name__ == "__main__":

@@ -54,8 +54,11 @@ def main():
     ))
     b = make(jax.random.key(0))
 
-    results = {}
-    state0 = None
+    # Compile both variants, then time interleaved blocks (ABAB...) --
+    # tunnel throughput drifts over minutes, so sequential legs confound
+    # the variant with the drift (see scripts/ab_dec_pack.py).
+    compiled = {}
+    loss0s = {}
     for fold in (True, False):
         net_d = MultiPeriodDiscriminator(dtype=dtype, fold_period=fold)
         print(f"[fold={fold}] init...", flush=True)
@@ -64,31 +67,40 @@ def main():
             lambda k, b: init_train_state(hps, net_g, net_d, tx_g, tx_d, k, b)
         )(jax.random.key(1), b)
         jax.block_until_ready(state.params_d)
-        if state0 is None:
-            state0 = state
         print(f"[fold={fold}] init {time.time() - t0:.1f}s", flush=True)
 
         step = jax.jit(make_train_step(hps, net_g, net_d, tx_g, tx_d,
                                        donate=False))
         t0 = time.time()
         _, metrics = step(state, b, jax.random.key(2))
-        loss0 = float(metrics["loss/g/total"])
+        loss0s[fold] = float(metrics["loss/g/total"])
         print(f"[fold={fold}] compile+step {time.time() - t0:.1f}s; "
-              f"loss/g/total {loss0:.4f}", flush=True)
+              f"loss/g/total {loss0s[fold]:.4f}", flush=True)
+        compiled[fold] = (step, state)
 
-        st = state
-        t0 = time.perf_counter()
-        for i in range(iters):
-            st, metrics = step(st, b, jax.random.fold_in(jax.random.key(3), i))
-        chk = float(metrics["loss/g/total"])  # host fetch = barrier
-        dt = (time.perf_counter() - t0) / iters * 1e3
-        print(f"[fold={fold}] {dt:.1f} ms/step (loss {chk:.3f})", flush=True)
-        results[fold] = (dt, loss0)
+    blocks = {True: [], False: []}
+    for blk in range(4):
+        for fold in (True, False) if blk % 2 == 0 else (False, True):
+            step, st = compiled[fold]
+            t0 = time.perf_counter()
+            for i in range(iters):
+                st, metrics = step(st, b,
+                                   jax.random.fold_in(jax.random.key(3),
+                                                      blk * iters + i))
+            chk = float(metrics["loss/g/total"])  # host fetch = barrier
+            dt = (time.perf_counter() - t0) / iters * 1e3
+            compiled[fold] = (step, st)
+            blocks[fold].append(dt)
+            print(f"[blk {blk} fold={fold}] {dt:.1f} ms/step "
+                  f"(loss {chk:.3f})", flush=True)
 
-    (dt_f, l_f), (dt_u, l_u) = results[True], results[False]
-    print(f"\nfold ON  {dt_f:.1f} ms | fold OFF {dt_u:.1f} ms | "
-          f"speedup {dt_u / dt_f:.3f}x | init-loss delta {abs(l_f - l_u):.5f}")
-    assert abs(l_f - l_u) < 0.05, "fold changed the init loss -- NOT exact"
+    med = {f: sorted(v)[len(v) // 2] for f, v in blocks.items()}
+    print(f"\nfold ON median {med[True]:.1f} ms {blocks[True]} | "
+          f"fold OFF median {med[False]:.1f} ms {blocks[False]} | "
+          f"ON/OFF {med[True] / med[False]:.3f}x | "
+          f"init-loss delta {abs(loss0s[True] - loss0s[False]):.5f}")
+    assert abs(loss0s[True] - loss0s[False]) < 0.05, \
+        "fold changed the init loss -- NOT exact"
 
 
 if __name__ == "__main__":

@@ -38,6 +38,9 @@ ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 # point costs in fidelity.
 POINTS = [(1024, 128), (384, 96), (256, 96),
           (256, 64), (224, 64), (192, 64), (160, 48)]
+if os.environ.get("STREAM_POINTS"):  # e.g. "1024:128,384:96,160:48"
+    POINTS = [tuple(int(v) for v in p.split(":"))
+              for p in os.environ["STREAM_POINTS"].split(",")]
 
 
 def main():
