@@ -95,6 +95,11 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "profile_start_step": 10,
     # Fail fast on NaN/Inf anywhere in the jitted step (jax_debug_nans).
     "debug_nans": False,
+    # Memoize computed spectrograms as <wav>.spec.npy next to the audio
+    # (the reference's commented-out .spec.pt cache, data_utils.py:61-68).
+    # Off by default to match the reference's effective behavior; turn on
+    # for many-epoch runs on small corpora to skip the per-epoch STFT.
+    "cache_specs": False,
 }
 
 _REQUIRED_TRAIN = ["learning_rate", "betas", "eps", "batch_size", "segment_size", "c_mel", "c_kl", "lr_decay", "seed"]

@@ -239,7 +239,14 @@ class Vocoder:
         mel = jnp.zeros((1, t, hps.data.n_mel_channels))
         spec = jnp.zeros((1, t, hps.data.filter_length // 2 + 1))
         lens = jnp.full((1,), t, jnp.int32)
-        params = net.init(jax.random.key(0), mel, lens, spec, lens, jax.random.key(1))["params"]
+        # Speaker-conditioned models only create emb_g when init sees a sid
+        # (ref models.py:331-340); without it the param template lacks emb_g
+        # and the partial-tolerant merge below would silently drop it, then
+        # any sid-conditioned apply fails with a missing-param error.
+        sid = (jnp.zeros((1,), jnp.int32)
+               if hps.model.get("use_spk_embed", False) else None)
+        params = net.init(jax.random.key(0), mel, lens, spec, lens,
+                          jax.random.key(1), sid=sid)["params"]
         params, _ = load_reference_generator(pth_path, params)
         return cls(hps, params, **kw)
 

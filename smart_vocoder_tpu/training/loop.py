@@ -69,7 +69,9 @@ def run(hps, max_steps: Optional[int] = None) -> None:
     mesh = make_mesh(data=hps.tpu.data_parallel, model=hps.tpu.model_parallel)
     use_sid = bool(hps.model.get("use_spk_embed", False)) and hps.data.n_speakers > 0
 
-    train_dataset = AudioSpecDataset(hps.data.training_files, hps.data)
+    cache_specs = bool(hps.tpu.get("cache_specs", False))
+    train_dataset = AudioSpecDataset(hps.data.training_files, hps.data,
+                                     cache_specs=cache_specs)
     train_sampler = BucketSampler(
         train_dataset.lengths,
         hps.train.batch_size * mesh.shape["data"] // jax.process_count(),
@@ -80,7 +82,8 @@ def run(hps, max_steps: Optional[int] = None) -> None:
     )
     train_loader = BucketedLoader(train_dataset, train_sampler, with_sid=use_sid)
     if is_chief:
-        eval_dataset = AudioSpecDataset(hps.data.validation_files, hps.data)
+        eval_dataset = AudioSpecDataset(hps.data.validation_files, hps.data,
+                                        cache_specs=cache_specs)
         eval_sampler = BucketSampler(
             eval_dataset.lengths, 1, list(hps.tpu.bucket_boundaries), shuffle=False,
         )

@@ -52,6 +52,7 @@ class TestConfig:
         hps = load_config(write_cfg(tmp_path))
         assert hps.tpu.bf16_run is True  # inherits fp16_run
         assert hps.tpu.model_parallel == 1
+        assert hps.tpu.cache_specs is False  # matches reference's disabled cache
         assert hps.data.n_speakers == 0
 
     def test_missing_key_raises(self, tmp_path):

@@ -33,7 +33,7 @@ class TestFoldWeightNorm:
         np.testing.assert_array_equal(np.asarray(out["conv"]["weight"]), np.ones((4, 2, 3)))
 
 
-def tiny_vocoder(tmp_path):
+def tiny_vocoder(tmp_path, ms=False):
     cfg = {
         "train": {
             "log_interval": 1, "eval_interval": 10, "seed": 0, "epochs": 1,
@@ -55,6 +55,10 @@ def tiny_vocoder(tmp_path):
             "gin_channels": 0, "enc_layers": 2, "flow_wn_layers": 1,
         },
     }
+    if ms:
+        cfg["data"]["n_speakers"] = 4
+        cfg["model"]["gin_channels"] = 16
+        cfg["model"]["use_spk_embed"] = True
     path = os.path.join(str(tmp_path), "cfg.json")
     with open(path, "w") as f:
         json.dump(cfg, f)
@@ -67,7 +71,9 @@ def tiny_vocoder(tmp_path):
     mel = jnp.zeros((1, t, 80))
     spec = jnp.zeros((1, t, 513))
     lens = jnp.full((1,), t, jnp.int32)
-    params = net.init(jax.random.key(0), mel, lens, spec, lens, jax.random.key(1))["params"]
+    sid = jnp.zeros((1,), jnp.int32) if ms else None
+    params = net.init(jax.random.key(0), mel, lens, spec, lens,
+                      jax.random.key(1), sid=sid)["params"]
     return hps, params
 
 
@@ -111,6 +117,30 @@ class TestVocoderAPI:
         np.testing.assert_allclose(
             chunked[2 * hop : -2 * hop], full[2 * hop : -2 * hop], atol=2e-4,
         )
+
+    def test_from_torch_checkpoint_keeps_emb_g(self, tmp_path):
+        """Loading a speaker-conditioned G_*.pth must preserve emb_g.
+
+        Regression: the param template used for the partial-tolerant merge was
+        built by an init without sid, so emb_g never entered the template and
+        the loaded model crashed on any sid-conditioned apply.
+        """
+        hps, params = tiny_vocoder(tmp_path, ms=True)
+        assert "emb_g" in params  # sanity: ms init creates the embedding
+
+        from smart_vocoder_tpu.utils.torch_compat import save_torch_checkpoint
+
+        pth = os.path.join(str(tmp_path), "G_0.pth")
+        save_torch_checkpoint(pth, params, iteration=0, learning_rate=2e-4)
+        voc = Vocoder.from_torch_checkpoint(
+            os.path.join(str(tmp_path), "cfg.json"), pth,
+            dtype=jnp.float32, buckets=(64,))
+        assert "emb_g" in voc.params
+        rng = np.random.default_rng(0)
+        mel = rng.normal(-4, 2, size=(1, 50, 80)).astype(np.float32)
+        outs = voc.mel_to_wav(mel, np.array([50]), sid=np.array([1]))
+        assert outs[0].shape == (50 * 256,)
+        assert np.isfinite(outs[0]).all()
 
     def test_chunked_short_input_passthrough(self, tmp_path):
         hps, params = tiny_vocoder(tmp_path)
