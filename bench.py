@@ -83,6 +83,9 @@ def main() -> None:
 
     cfg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "configs", "iitp_base.json")
     hps = load_config(cfg)
+    from smart_vocoder_tpu.utils.compile_cache import enable_compilation_cache
+    cache_dir = enable_compilation_cache(hps.tpu.get("compilation_cache", True))
+    log(f"persistent compilation cache: {cache_dir or 'off'}")
     sr = hps.data.sampling_rate
     hop = hps.data.hop_length
 

@@ -29,6 +29,8 @@ def main():
     cfg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "configs", "iitp_base.json")
     hps = load_config(cfg)
+    from smart_vocoder_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(hps.tpu.get("compilation_cache", True))
     hps.train.batch_size = batch
     hop = hps.data.hop_length
 

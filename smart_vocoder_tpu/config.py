@@ -95,6 +95,12 @@ _TPU_DEFAULTS: Dict[str, Any] = {
     "profile_start_step": 10,
     # Fail fast on NaN/Inf anywhere in the jitted step (jax_debug_nans).
     "debug_nans": False,
+    # Persistent XLA compilation cache (utils/compile_cache.py): replay
+    # compiled executables across processes so resume-after-preemption and
+    # repeated CLI runs skip the multi-minute train-step compile. true ->
+    # ~/.cache/smart_vocoder_tpu/xla, a string -> that directory, false -> off;
+    # SMART_VOCODER_XLA_CACHE env var overrides.
+    "compilation_cache": True,
     # Memoize computed spectrograms as <wav>.spec.npy next to the audio
     # (the reference's commented-out .spec.pt cache, data_utils.py:61-68).
     # Off by default to match the reference's effective behavior; turn on

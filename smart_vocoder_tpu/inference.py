@@ -44,6 +44,8 @@ class Vocoder:
         (no cross-batch ops), so the Pallas fast paths run unchanged on each
         shard. ``mel_to_wav`` pads the batch to a multiple of the axis size."""
         self.hps = hps
+        from smart_vocoder_tpu.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache(hps.tpu.get("compilation_cache", True))
         self.mel_cfg = MelConfig.from_hparams(hps)
         self.buckets = sorted(buckets)
         if use_pallas is None:

@@ -57,6 +57,8 @@ def run(hps, max_steps: Optional[int] = None) -> None:
     """Train per the config; the equivalent of train.py's run() (train.py:52-120)."""
     if hps.tpu.get("debug_nans"):
         jax.config.update("jax_debug_nans", True)
+    from smart_vocoder_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache(hps.tpu.get("compilation_cache", True))
 
     is_chief = jax.process_index() == 0
     logger = logging_utils.get_logger(hps.model_dir) if is_chief else None
