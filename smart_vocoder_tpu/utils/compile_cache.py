@@ -38,13 +38,16 @@ def resolve_cache_dir(knob: Union[bool, str, None] = True) -> Optional[str]:
     """
     env = os.environ.get("SMART_VOCODER_XLA_CACHE")
     if env is not None:
-        return None if env.strip().lower() in _OFF_VALUES else env
-    if knob is None or knob is False:
-        return None
-    if knob is True:
-        return _DEFAULT_DIR
-    knob = str(knob)
-    return None if knob.strip().lower() in _OFF_VALUES else knob
+        env = env.strip()
+        return None if env.lower() in _OFF_VALUES else env
+    if knob is None or isinstance(knob, bool):
+        return _DEFAULT_DIR if knob else None
+    if isinstance(knob, (int, float)):
+        # JSON configs often say "compilation_cache": 1 -- bool-like, not a
+        # directory name.
+        return _DEFAULT_DIR if knob else None
+    knob = str(knob).strip()
+    return None if knob.lower() in _OFF_VALUES else knob
 
 
 def enable_compilation_cache(knob: Union[bool, str, None] = True) -> Optional[str]:

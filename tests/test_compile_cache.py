@@ -24,6 +24,15 @@ def test_resolve_precedence(monkeypatch):
     assert resolve_cache_dir("off") is None
     assert resolve_cache_dir(True).endswith(os.path.join("smart_vocoder_tpu", "xla"))
     assert resolve_cache_dir("/x/y") == "/x/y"
+    # bool-like JSON values ("compilation_cache": 1 / 0) mean default-dir/off,
+    # never a relative directory literally named "1"
+    assert resolve_cache_dir(1) == resolve_cache_dir(True)
+    assert resolve_cache_dir(0) is None
+    # whitespace around a path knob/env is not part of the directory name
+    assert resolve_cache_dir("  /x/y  ") == "/x/y"
+    monkeypatch.setenv("SMART_VOCODER_XLA_CACHE", " /env/pad ")
+    assert resolve_cache_dir(True) == "/env/pad"
+    monkeypatch.delenv("SMART_VOCODER_XLA_CACHE")
     # env var wins over the knob, both directions
     monkeypatch.setenv("SMART_VOCODER_XLA_CACHE", "off")
     assert resolve_cache_dir(True) is None
@@ -35,6 +44,7 @@ def test_cache_entry_written(tmp_path, monkeypatch):
     monkeypatch.delenv("SMART_VOCODER_XLA_CACHE", raising=False)
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
     try:
         cache_dir = enable_compilation_cache(str(tmp_path / "xla"))
         assert cache_dir == str(tmp_path / "xla")
@@ -51,3 +61,4 @@ def test_cache_entry_written(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
