@@ -14,9 +14,21 @@ Latency model per row:
   first_audio_ms = buffer_ms + compute_ms  (mel arrives in real time)
   rtf_steady = step*hop/sr / per-window wall  (throughput while streaming)
 
+Multi-stream mode (--streams): N concurrent live sessions share ONE
+(N, chunk) window program through serving.StreamServer -- the B=1 decode is
+launch-overhead-bound, so co-batching streams multiplies aggregate
+throughput at nearly flat window latency. Table per (N, chunk, overlap):
+  window_ms     = wall time of one batched step() (all N windows decode)
+  stream_rtf    = step*hop/sr / window  (each stream's realtime margin)
+  aggregate_rtf = N * stream_rtf       (chip-level realtime throughput)
+It also re-runs the batched-vs-sequential equality check from
+tests/test_serving.py on the real device and prints the measured max |diff|.
+
 Usage: python scripts/bench_streaming.py [iters]
+       python scripts/bench_streaming.py --streams [N,N,...] [--point C:O]
 """
 
+import argparse
 import os
 import sys
 import time
@@ -30,7 +42,17 @@ import numpy as np
 from smart_vocoder_tpu.config import load_config
 from smart_vocoder_tpu.inference import Vocoder
 
-ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+_ap = argparse.ArgumentParser()
+_ap.add_argument("iters", nargs="?", type=int, default=20)
+_ap.add_argument("--streams", nargs="?", const="1,2,4,8,16,32", default=None,
+                 help="run the multi-stream sweep over these N values")
+_ap.add_argument("--point", action="append", default=None,
+                 help="chunk:overlap operating point(s) for --streams "
+                      "(default 384:96 and 1024:128)")
+_ap.add_argument("--no-check", action="store_true",
+                 help="skip the batched-vs-sequential equality check")
+ARGS = _ap.parse_args()
+ITERS = ARGS.iters
 # Round-4 sweep extends BELOW 384/96 (VERDICT r3 next #9): overlaps under the
 # ~96-frame analytic receptive radius are approximate at seams -- the `seam`
 # column measures it (max |chunked - full| / RMS(full) on a 1536-frame decode
@@ -41,6 +63,64 @@ POINTS = [(1024, 128), (384, 96), (256, 96),
 if os.environ.get("STREAM_POINTS"):  # e.g. "1024:128,384:96,160:48"
     POINTS = [tuple(int(v) for v in p.split(":"))
               for p in os.environ["STREAM_POINTS"].split(",")]
+
+
+def _bench_streams(voc, sr, hop, points, ns, iters, check=True):
+    """Multi-stream sweep: one StreamServer per (N, chunk, overlap) point,
+    every stream pre-fed so a full batch is ready each round; step() ends in
+    a host readback, and every window has fresh content (the cursor advances
+    through fresh random mel), so identical-input short-circuiting cannot
+    fire."""
+    from smart_vocoder_tpu.serving import StreamServer
+
+    rng = np.random.default_rng(1)
+    print(f"{'streams':>7} {'chunk':>6} {'ovl':>4} {'window_ms':>10} "
+          f"{'stream_rtf':>10} {'aggregate_rtf':>13}", flush=True)
+    results = []
+    for chunk, overlap in points:
+        step = chunk - 2 * overlap
+        for n in ns:
+            server = StreamServer(voc, max_streams=n, chunk=chunk,
+                                  overlap=overlap)
+            need = (4 + iters + 1) * step + chunk
+            handles = [server.open(seed=i) for i in range(n)]
+            for i, h in enumerate(handles):
+                server.feed(h, rng.normal(-4, 2, (need, 80)).astype(np.float32))
+            for _ in range(4):  # compile + settle
+                server.step()
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = server.step()
+                assert len(out) == n
+            wall = (time.perf_counter() - t0) / iters
+            stream_rtf = (step * hop / sr) / wall
+            print(f"{n:>7} {chunk:>6} {overlap:>4} {wall * 1e3:>10.1f} "
+                  f"{stream_rtf:>10.1f} {n * stream_rtf:>13.1f}", flush=True)
+            results.append({"streams": n, "chunk": chunk, "overlap": overlap,
+                            "window_ms": wall * 1e3,
+                            "aggregate_rtf": n * stream_rtf})
+
+    if check:
+        # equality on the real device: 2 streams co-batched on an 8-row
+        # server vs each alone through the B=1 stream_mel_to_wav program
+        chunk, overlap = points[0]
+        server = StreamServer(voc, max_streams=8, chunk=chunk, overlap=overlap)
+        mels = [rng.normal(-4, 2, (3 * chunk, 80)).astype(np.float32)
+                for _ in range(2)]
+        hs = [server.open(seed=11 + i) for i in range(2)]
+        got = {h: [] for h in hs}
+        for h, wav in server.run({h: iter([m]) for h, m in zip(hs, mels)}):
+            got[h].append(wav)
+        worst = 0.0
+        for h, m, seed in zip(hs, mels, (11, 12)):
+            want = np.concatenate(list(voc.stream_mel_to_wav(
+                [m], chunk=chunk, overlap=overlap, seed=seed)))
+            have = np.concatenate(got[h])
+            assert have.shape == want.shape
+            worst = max(worst, float(np.max(np.abs(have - want))))
+        print(f"batched-vs-sequential max |diff| (device): {worst:.2e}",
+              flush=True)
+    return results
 
 
 def main():
@@ -56,6 +136,17 @@ def main():
     spec0 = jnp.zeros((1, t0c, 513))
     lens0 = jnp.full((1,), t0c, jnp.int32)
     params = fidelity_params(hps, mel0, lens0, spec0)
+
+    if ARGS.streams is not None:
+        points = [tuple(int(v) for v in p.split(":"))
+                  for p in (ARGS.point or ["384:96", "1024:128"])]
+        ns = [int(v) for v in ARGS.streams.split(",")]
+        voc = Vocoder(hps, params, dtype=jnp.bfloat16,
+                      buckets=tuple(sorted({c for c, _ in points})),
+                      fold=True, use_pallas=True)
+        _bench_streams(voc, sr, hop, points, ns, ITERS,
+                       check=not ARGS.no_check)
+        return
 
     chunks = sorted({c for c, _ in POINTS})
     # fidelity_params are already folded; fold_weight_norm is idempotent on

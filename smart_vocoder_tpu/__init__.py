@@ -14,6 +14,8 @@ Layer map (mirrors SURVEY.md section 1):
   data/         -- L5 filelist dataset, bucket batching with static TPU shapes
   losses.py     -- L6 GAN / mel / KL / feature-matching losses
   training/     -- L7 jitted GAN train step, mesh data parallelism, loop
+  inference.py  -- L9 Vocoder API (batched / chunked / streaming synthesis)
+  serving.py    -- L9 StreamServer: N concurrent live streams, one batched decode
   utils/        -- L8 checkpointing (orbax + torch import), logging, plotting
   kernels/      -- Pallas TPU kernels for the hot paths
   parallel/     -- device mesh + sharding rules

@@ -85,6 +85,7 @@ class Vocoder:
         else:
             self.net = build_synthesizer(hps, dtype=dtype)
         self.params = params_g
+        self.dtype = dtype
         if self.use_pallas or self.use_pallas_wn:
             from smart_vocoder_tpu.kernels.decoder import DecoderConfig
 
@@ -93,6 +94,7 @@ class Vocoder:
                                self.use_pallas_wn, self.hifi)
         else:
             apply_fn = partial(self._apply_infer, self.net)
+        self._apply_fn = apply_fn  # reused by serving.StreamServer
         self.mesh = mesh
         if mesh is None:
             self._infer = jax.jit(apply_fn, static_argnames=("noise_scale",))

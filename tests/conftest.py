@@ -15,6 +15,11 @@ import sys
 # jax is already imported by pytest plugin autoloading, so setting the env var
 # is not enough -- update the live config (safe while no backend exists yet).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests must not share the user-level persistent XLA cache: entries written by
+# another machine replay AOT code compiled for different CPU features (ULP-level
+# numeric drift + cpu_aot_loader warnings), and tests would poison the cache
+# real runs replay. Subprocess-spawning tests inherit this via the env.
+os.environ.setdefault("SMART_VOCODER_XLA_CACHE", "off")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
