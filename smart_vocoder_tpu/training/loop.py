@@ -9,8 +9,10 @@ Differences from the reference runtime, by design:
     step and epoch together (reference splits G_/D_ and reconstructs step from
     epoch, train.py:104).
 
-Logging cadence, scalar names, eval behaviour (first eval sample only,
-max_len=1000), and LR schedule match the reference exactly.
+Logging cadence, scalar names, and LR schedule match the reference exactly.
+Eval keeps the reference's max_len=1000 crop and TB surface but scores
+``eval/mel_l1`` over a fixed ``tpu.eval_samples`` (default 8) utterance set
+instead of the reference's single first sample (train.py:261-265).
 """
 
 from __future__ import annotations
@@ -239,7 +241,8 @@ def _export_torch_ckpts(hps, state, step: int, lr: float, logger) -> None:
             _export_torch_ckpts._warned = True
             logger.warning(
                 ".pth export skipped: params not fully chief-addressable "
-                "(multi-host model parallelism); use orbax + the export CLI")
+                "(multi-host model parallelism); export from orbax with "
+                "scripts/export_pth.py")
         return
     from smart_vocoder_tpu.utils.torch_compat import save_torch_checkpoint
 
@@ -274,52 +277,81 @@ def _infer_apply(net_g, params_g, mel, lengths, rng, sid=None, max_len=None):
 
 def _evaluate(hps, net_g, state, eval_loader, infer_fn, mel_cfg, writer_eval,
               global_step) -> None:
-    """First-eval-sample audio/image logging (ref: train.py:251-310)."""
-    try:
-        batch = next(iter(eval_loader))
-    except StopIteration:
+    """Eval audio/image logging + quality scalar (ref: train.py:251-310).
+
+    The reference scores only the FIRST eval utterance (train.py:261-265) --
+    a one-sample estimator whose trend is dominated by that utterance's
+    idiosyncrasies. Here ``eval/mel_l1`` is the mean copy-synthesis mel-L1
+    over a fixed set of the first ``tpu.eval_samples`` (default 8) validation
+    utterances, batched into ONE compiled program (a single (K, 1000, n_mels)
+    shape -- one extra compile vs the reference's B=1, amortized over the
+    run). TB audio/image keep the reference's names and, like the reference,
+    show sample 0.
+    """
+    n_eval = max(1, int(hps.tpu.get("eval_samples", 8)))
+    mels, lens_l, sids, first_batch = [], [], [], None
+    for batch in eval_loader:
+        if first_batch is None:
+            first_batch = batch
+        mels.append(np.asarray(spec_to_mel(batch.spec[:1], mel_cfg)))
+        lens_l.append(int(batch.spec_lengths[0]))
+        if getattr(batch, "sid", None) is not None:
+            sids.append(int(batch.sid[0]))
+        if len(mels) >= n_eval:
+            break
+    if first_batch is None:
         return
-    # Static eval shape: pad/crop the mel to exactly max_len frames so
-    # infer_fn compiles ONCE regardless of which bucket each eval call's
-    # first batch lands on (recompile per new bucket shape otherwise). The
-    # sequence mask zeroes the padded tail, matching the reference's
-    # max_len=1000 crop (train.py:273).
+    # Static eval shape: pad/crop every mel to exactly max_len frames and the
+    # batch to exactly n_eval rows (repeat row 0; duplicates are excluded
+    # from the mean) so infer_fn compiles ONCE regardless of which buckets
+    # the eval utterances land in. The sequence mask zeroes the padded tail,
+    # matching the reference's max_len=1000 crop (train.py:273).
     max_len = 1000
-    mel = spec_to_mel(batch.spec[:1], mel_cfg)
-    if mel.shape[1] < max_len:
-        mel = jnp.pad(mel, ((0, 0), (0, max_len - mel.shape[1]), (0, 0)))
-    else:
-        mel = mel[:, :max_len]
-    lens = jnp.minimum(batch.spec_lengths[:1], max_len)
-    # Speaker-conditioned models evaluate with the sample's own sid (the
+    n_real = len(mels)
+    mel = np.zeros((n_eval, max_len, mels[0].shape[-1]), np.float32)
+    for i in range(n_eval):
+        m = mels[i if i < n_real else 0][0]
+        t = min(m.shape[0], max_len)
+        mel[i, :t] = m[:t]
+    mel = jnp.asarray(mel)
+    lens_np = np.asarray(
+        [min(lens_l[i if i < n_real else 0], max_len) for i in range(n_eval)],
+        np.int32)
+    lens = jnp.asarray(lens_np)
+    # Speaker-conditioned models evaluate with each sample's own sid (the
     # reference's evaluate() drops sid entirely, train.py:273 -- that would
     # copy-synthesize every eval through the null speaker embedding and make
     # the eval mel-L1 trend meaningless in use_spk_embed mode).
-    sid = batch.sid[:1] if getattr(batch, "sid", None) is not None else None
+    sid = None
+    if sids:
+        sid = jnp.asarray([sids[i if i < n_real else 0] for i in range(n_eval)],
+                          jnp.int32)
     y_hat, mask, _ = infer_fn(
         state.params_g, mel, lens, jax.random.key(0), sid=sid, max_len=max_len,
     )
     y_hat = np.asarray(jax.device_get(y_hat), dtype=np.float32)
-    y_hat_len = int(np.asarray(mask).sum() * hps.data.hop_length)
+    y_hat_len = int(np.asarray(mask[0]).sum() * hps.data.hop_length)
 
-    y_hat_mel = mel_spectrogram(jnp.asarray(y_hat[..., 0]), mel_cfg)
-    # Copy-synthesis mel-L1 over the valid frames: the per-eval quality
-    # scalar behind CONVERGENCE.md's trend table (VERDICT r3 next #6). The
-    # generated mel is one frame shorter than the (center=False) input mel
-    # grid at equal sample counts; compare the overlap.
-    n_valid = min(int(lens[0]), y_hat_mel.shape[1])
-    mel_l1 = float(jnp.mean(jnp.abs(
-        y_hat_mel[0, :n_valid] - mel[0, :n_valid])))
+    y_hat_mel = np.asarray(mel_spectrogram(jnp.asarray(y_hat[..., 0]), mel_cfg))
+    # Copy-synthesis mel-L1 over each sample's valid frames, averaged over
+    # the fixed eval set: the quality scalar behind CONVERGENCE.md's trend
+    # table. The generated mel is one frame shorter than the (center=False)
+    # input mel grid at equal sample counts; compare the overlap.
+    mel_np = np.asarray(mel)
+    per_sample = []
+    for i in range(n_real):
+        n_valid = min(int(lens_np[i]), y_hat_mel.shape[1])
+        per_sample.append(float(np.mean(np.abs(
+            y_hat_mel[i, :n_valid] - mel_np[i, :n_valid]))))
+    mel_l1 = float(np.mean(per_sample))
     images = {
-        "gen/mel": logging_utils.plot_spectrogram_to_numpy(
-            np.asarray(y_hat_mel[0]).T
-        )
+        "gen/mel": logging_utils.plot_spectrogram_to_numpy(y_hat_mel[0].T)
     }
     audios = {"gen/audio": y_hat[0, :y_hat_len, 0]}
     if global_step == 0:
-        images["gt/mel"] = logging_utils.plot_spectrogram_to_numpy(np.asarray(mel[0]).T)
-        wav_len = int(batch.wav_lengths[0])
-        audios["gt/audio"] = np.asarray(batch.wav[0, :wav_len, 0])
+        images["gt/mel"] = logging_utils.plot_spectrogram_to_numpy(mel_np[0].T)
+        wav_len = int(first_batch.wav_lengths[0])
+        audios["gt/audio"] = np.asarray(first_batch.wav[0, :wav_len, 0])
 
     logging_utils.summarize(
         writer_eval, global_step, images=images, audios=audios,
