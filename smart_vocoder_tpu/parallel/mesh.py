@@ -89,7 +89,7 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     single-host run with the same seed: (a) row-indexed logging
     (``image/slice_mel_org`` shows whichever sample landed in global row 0),
     and (b) bit-level metric parity (f32 reduction order follows row order).
-    tests/test_multiprocess.py pins the 2-process loss trajectory against
+    tests/test_multiprocess.py runs real 2- and 4-process clusters against
     these semantics.
     """
     sharding = batch_sharding(mesh)

@@ -122,6 +122,34 @@ def test_train_loop_end_to_end(tmp_path):
     log = open(log_path).read()
     assert "resumed from step" in log
 
+    # the standalone export CLI (the path the loop's multi-host warning points
+    # at) restores the same orbax dir off-cluster and writes G/D .pth
+    import subprocess
+    import sys
+
+    out_dir = os.path.join(str(tmp_path), "exported")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # force CPU the way test_multiprocess does: the ambient sitecustomize (in
+    # PYTHONPATH) would re-register the TPU plugin over JAX_PLATFORMS=cpu
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = root
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "export_pth.py"),
+         "-c", cfg_path, "-m", hps.model_dir, "--out-dir", out_dir],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    latest = max(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    for tag in ("G", "D"):
+        p = os.path.join(out_dir, f"{tag}_{latest}.pth")
+        assert os.path.exists(p), os.listdir(out_dir)
+    payload = torch.load(os.path.join(out_dir, f"G_{latest}.pth"),
+                         map_location="cpu", weights_only=False)
+    assert payload["iteration"] == latest
+    assert any(k.startswith("dec.") for k in payload["model"])
+
 
 @pytest.mark.slow
 def test_exported_pth_loads_via_reference_code(tmp_path, reference_path,
