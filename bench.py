@@ -29,7 +29,7 @@ from smart_vocoder_tpu.models.synthesizer import SynthesizerTrn
 BATCH = int(__import__("os").environ.get("BENCH_BATCH", 32))  # throughput sweet spot measured on v5e
 FRAMES = 1000         # ~11.6 s of audio per utterance at hop 256 / 22.05 kHz
 WARMUP = 3
-ITERS = 30
+ITERS = int(__import__("os").environ.get("BENCH_ITERS", 30))
 TARGET_RTF = 200.0    # BASELINE.json north star
 
 
@@ -227,7 +227,56 @@ def main() -> None:
         result[f"mel_l1_serving_{suffix}"] = round(mel_l1_serving, 5)
     if rtf_fast is not None:
         result["rtf_fast_bf16"] = round(rtf_fast, 2)
+    result.update(train_metrics())
     print(json.dumps(result))
+
+
+def train_metrics() -> dict:
+    """Training throughput in the SAME driver artifact as serving (VERDICT r4
+    next #4): run scripts/bench_train.py (full GAN step, batch 16 x 1000
+    frames, the config of record) in a bounded subprocess and merge its step
+    time + MFU. Subprocess isolation keeps the ~10 GiB train-step live set and
+    its compile out of this process; the persistent compilation cache makes
+    the warm-path cost ~1 min. Skipped (with a log line, keys absent) on
+    timeout/failure or under BENCH_SKIP_TRAIN=1 -- serving headline metrics
+    never depend on the train phase."""
+    import os
+    import subprocess
+
+    if os.environ.get("BENCH_SKIP_TRAIN") == "1" or "--no-train" in sys.argv:
+        log("train phase: skipped by flag")
+        return {}
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_train.py")
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            [sys.executable, script, "1000", "16", "10"], capture_output=True,
+            text=True, timeout=float(os.environ.get("BENCH_TRAIN_TIMEOUT", 1500)),
+        )
+    except subprocess.TimeoutExpired:
+        log("train phase: timed out (cold compile over the tunnel?); "
+            "omitting train metrics")
+        return {}
+    if p.returncode != 0:
+        tail = (p.stderr or p.stdout).strip().splitlines()[-1:]
+        log(f"train phase failed rc={p.returncode}: {tail}; omitting")
+        return {}
+    for line in reversed(p.stdout.strip().splitlines()):
+        try:
+            tm = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if tm.get("metric") == "train_step_ms":
+            log(f"train phase ({time.time() - t0:.0f}s): "
+                f"{tm['value']} ms/step, mfu {tm['mfu_wallclock']}")
+            return {
+                "train_step_ms": tm["value"],
+                "train_audio_x_realtime": tm["audio_x_realtime"],
+                "train_mfu_wallclock": tm["mfu_wallclock"],
+            }
+    log("train phase: no JSON line found; omitting")
+    return {}
 
 
 def fidelity_vs_reference(hps, net, params, synth_path_pallas: bool,
