@@ -138,7 +138,7 @@ def decoder_apply(
     dtype=jnp.bfloat16,
     max_stages: int | None = None,
     pallas_stage2: bool = False,
-    hifi_tail: bool = False,
+    hifi_tail: bool | int = False,
 ) -> jnp.ndarray:
     """Folded dec params + latent (B, T, C) -> waveform (B, T*hop, 1).
 
@@ -148,7 +148,10 @@ def decoder_apply(
     ``hifi_tail`` runs the final (waveform-adjacent) fused stage + conv_post
     tail at serving-fidelity precision (f32 activations, 2-pass bf16 matmuls,
     f32 waveform out; kernels/mrf.py hifi mode) -- the minimal f32 island
-    that brings the bf16 serving path's mel-L1 under the 1e-2 target."""
+    that brings the bf16 serving path's mel-L1 under the 1e-2 target.
+    Accepts an int LEVEL: 0/False off, 1/True the default tail (stage-4 x2 +
+    stage-3 f32 storage), 2 extends the two-pass hi/lo matmul split to
+    stage 3 as well (scripts/fidelity_frontier.py measures the ladder)."""
     assert cfg.resblock == "1", "fast decoder supports ResBlock1 configs"
     num_kernels = len(cfg.resblock_kernel_sizes)
     ks = tuple(cfg.resblock_kernel_sizes)
@@ -211,7 +214,7 @@ def decoder_apply(
                 branches, ks, dil, tile=2048, interpret=interpret,
                 post_weight=(params_dec["conv_post"]["weight"]
                              if fold_post else None),
-                hifi=hifi_tail and fold_post,
+                hifi=int(hifi_tail) >= 1 and fold_post,
             )
             if fold_post:
                 return x  # (B, T*hop, 1) waveform, tanh applied in-kernel
@@ -226,7 +229,8 @@ def decoder_apply(
                 # term (0.0045) after the final-stage fix
                 x = fused_mrf_stage_packed(x, branches, ks, dil,
                                            interpret=interpret,
-                                           f32_storage=hifi_tail)
+                                           f32_storage=int(hifi_tail) >= 1,
+                                           x2=int(hifi_tail) >= 2)
             elif (use_pallas and pallas_stage2 and ch % 128 == 0
                     and x.shape[1] % 512 == 0):
                 x = fused_mrf_stage(x, branches, ks, dil, tile=1024,

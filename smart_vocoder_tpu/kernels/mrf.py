@@ -269,7 +269,7 @@ def _dispatch_conv_vmem(v, wref, bias, meta, out_dtype=None, x2=False):
                              out_dtype=out_dtype)
 
 
-def _mrf_packed_kernel(layer_meta, tile, radius, f32_storage, tp_real,
+def _mrf_packed_kernel(layer_meta, tile, radius, f32_storage, x2, tp_real,
                        x_hbm, mask_hbm, *refs):
     """Packed-domain fused stage. layer_meta: per-branch list of per-conv
     metas (see _dispatch_conv_vmem); refs order: for each branch, for each
@@ -308,8 +308,12 @@ def _mrf_packed_kernel(layer_meta, tile, radius, f32_storage, tp_real,
         valid = valid.astype(jnp.float32)
 
     def conv(v, wp, bias, meta):
-        # in f32_storage mode: single-bf16-rounded MXU operand, f32 result
-        # straight from the accumulator (no bf16 round trip)
+        # f32_storage: single-bf16-rounded MXU operand, f32 result straight
+        # from the accumulator (no bf16 round trip). x2 additionally splits
+        # the f32 operand hi/lo into TWO bf16 MXU passes (the full
+        # serving-fidelity recipe, same as the stage-4 hifi kernel).
+        if x2:
+            return _dispatch_conv_vmem(v, wp, bias, meta, x2=True)
         return _dispatch_conv_vmem(
             v.astype(x_vmem.dtype), wp, bias, meta,
             out_dtype=jnp.float32 if f32_storage else None)
@@ -353,13 +357,16 @@ def fused_mrf_stage_packed(
     tile: int = 1024,  # v5e stage4: 15.4 vs 16.5 (512) / 18.6 (256) / 23.7 (128)
     interpret: bool = False,
     f32_storage: bool = False,
+    x2: bool = False,
     pertap: bool = True,
 ) -> jnp.ndarray:
     """Fused MRF stage evaluated in the space-to-depth packed domain.
 
     ``f32_storage``: keep intermediates in f32 VMEM (single-bf16 MXU
     operands, f32 output) -- the storage half of the serving-fidelity fix;
-    see _mrf_packed_kernel.
+    see _mrf_packed_kernel.  ``x2`` (implies f32_storage) also evaluates
+    every conv as a two-pass hi/lo bf16 split -- the FULL serving-fidelity
+    recipe, ~2x the stage's MXU passes (the hifi level-2 frontier point).
 
     ``pertap``: evaluate each dilated (d odd > 1, p=2) conv with one
     full-lane dot per original tap (pack_conv_weight_pertap) instead of the
@@ -417,8 +424,9 @@ def fused_mrf_stage_packed(
     mask = jnp.zeros((total, 1), x.dtype).at[radius : radius + tp].set(1.0)
     mask = jnp.broadcast_to(mask, (total, p * c))
 
+    f32_storage = f32_storage or x2
     kernel = functools.partial(_mrf_packed_kernel, tuple(map(tuple, layer_meta)),
-                               tile, radius, f32_storage, tp)
+                               tile, radius, f32_storage, x2, tp)
     out_dtype = jnp.float32 if f32_storage else x.dtype
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY)]

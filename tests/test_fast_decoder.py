@@ -230,6 +230,17 @@ def test_hifi_kernels_parity():
     assert err_hifi.mean() < 0.85 * err_bf16.mean(), (
         err_hifi.mean(), err_bf16.mean())
 
+    # --- packed stage x2 (hifi level 2: stage3 two-pass matmuls) -----------
+    # With f32 storage AND hi/lo-split matmul operands the only remaining
+    # rounding is the (pre-applied) weight rounding, so the kernel should
+    # sit ~at the f32 oracle -- far below the storage-only mode's deviation.
+    got3_x2 = fused_mrf_stage_packed(x3, branches3, ks, dil, tile=32,
+                                     interpret=True, x2=True)
+    assert got3_x2.dtype == jnp.float32
+    err_x2 = np.abs(np.asarray(got3_x2) - np.asarray(want3))
+    assert err_x2.mean() < 0.2 * err_hifi.mean(), (
+        err_x2.mean(), err_hifi.mean())
+
 
 def test_conv_transpose_packed_matches_polyphase():
     """The packed-domain transposed conv (measured-and-rejected for serving
