@@ -8,19 +8,21 @@ shapes (B=16 segment slices, reference train.py:131-176 / models.py:115-167):
   forward : the existing ``fused_mrf_stage`` kernel (activations never touch
             HBM); residuals saved = (x, weights) only -- no intermediates.
   backward: one Pallas kernel per branch.  Each (batch, time-tile) grid step
-            DMAs an ``x`` tile and a ``dy`` tile with a halo of the branch's
-            receptive radius, REPLAYS the branch chain in VMEM (recompute --
-            cheaper than round-tripping 12 intermediates through HBM), then
-            backprops through it: dx via correlation with tap-flipped
-            transposed weights, dw/db via per-tap (C,tile)x(tile,C) MXU dots
+            DMAs an ``x`` tile and a ``dy`` tile with a halo (see below),
+            REPLAYS the branch chain in VMEM (recompute -- cheaper than
+            round-tripping 12 intermediates through HBM), then backprops
+            through it: dx via correlation with tap-flipped transposed
+            weights, dw/db via per-tap (C,tile)x(tile,C) MXU dots
             accumulated across the sequential TPU grid into revisited VMEM
             output blocks.
 
-Validity telescoping makes the tile-local math exact: a forward intermediate
-at chain depth j is globally correct on the extended tile minus the radius
-consumed so far, and the backward pass consumes the remaining radius, so the
-central ``tile`` columns of dx -- and every dw product, which only reads
-central rows of the grads -- are exact.  Boundary masking mirrors the forward
+The halo is NOT the chain's receptive radius: a replayed intermediate at
+depth j is only correct on the extended tile minus the radius consumed so
+far, and its backward consumer reads it beyond the central tile by however
+much bwd consumption remains -- the two ADD (``branch_bwd_halo``, ~22r vs
+the fwd kernel's 12r).  With that halo the central ``tile`` columns of dx --
+and every dw product, which only reads central rows of the grads -- are
+exact.  Boundary masking mirrors the forward
 kernel: rows outside [0, t_real) are zeroed after every conv, reproducing
 torch's per-conv zero padding at sequence edges (reference modules.py:210-222).
 
@@ -44,7 +46,6 @@ from smart_vocoder_tpu.kernels.mrf import (
     LRELU_SLOPE,
     BranchWeights,
     fused_mrf_stage,
-    stage_radius,
 )
 
 
