@@ -97,14 +97,17 @@ def main() -> None:
     # --f32: full-precision serving (quality/speed tradeoff datapoint; the
     # bf16 default's deviation from f32 is the mel_l1_serving number below).
     dtype = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16
-    # Headline config (round 3): the serving-fidelity path -- bf16 everywhere
-    # EXCEPT the two waveform-adjacent decoder stages (f32 activations; the
-    # final stage also uses 2-pass hi/lo bf16 matmuls; kernels/mrf.py hifi) --
-    # the one configuration that meets BOTH targets: mel-L1 <= 1e-2 on the
-    # exact timed path AND >= 1500x RT. --fast drops the fidelity islands and
-    # times the pure-bf16 path (its RTF is also always reported below).
-    hifi = use_pallas and dtype == jnp.bfloat16 and "--fast" not in sys.argv
+    # Headline config (round 5): serving-fidelity level 2 -- f32 prior+flow
+    # (module graph, bf16 MXU operands), f32-storage early decoder, and the
+    # round-3 waveform-adjacent tail islands (kernels/decoder.py hifi_tail
+    # ladder; scripts/fidelity_frontier.py has the measured curve). mel-L1
+    # 0.0048 at ~1480x vs level 1's 0.0087 at ~1610x: half the deviation
+    # for ~8% RTF, chosen to double the fidelity-target margin. --fast drops
+    # all the islands and times the pure-bf16 path (also always reported).
+    hifi = (2 if use_pallas and dtype == jnp.bfloat16
+            and "--fast" not in sys.argv else 0)
     net = build_synthesizer(hps, dtype=dtype, weight_norm=False)
+    net_prior_f32 = build_synthesizer(hps, weight_norm=False)
     mel = jax.random.normal(jax.random.key(0), (BATCH, FRAMES, hps.data.n_mel_channels)) * 2.0 - 4.0
     lens = jnp.full((BATCH,), FRAMES, jnp.int32)
     spec = jnp.zeros((BATCH, FRAMES, hps.data.filter_length // 2 + 1))
@@ -120,7 +123,12 @@ def main() -> None:
 
     dec_cfg = DecoderConfig.from_hparams(hps)
 
-    def make_synth(pallas: bool, pallas_wn: bool = False, hifi_tail: bool = False):
+    def make_synth(pallas: bool, pallas_wn: bool = False, hifi_tail: int = 0):
+        # hifi level >= 2 runs the prior through the f32 module graph (f32
+        # storage, single-bf16 MXU matmuls at DEFAULT precision): +6 ms at
+        # B=32x1000 for -0.003 mel-L1 (scripts/bisect_fidelity3.py).
+        net_prior = net_prior_f32 if int(hifi_tail) >= 2 else net
+
         @jax.jit
         def synth(params, mel, lens, rng):
             if pallas:
@@ -139,7 +147,8 @@ def main() -> None:
                         z_p = m_p + eps * jnp.exp(logs_p) * 0.667
                         return n.flow(z_p, mask, g=None, reverse=True) * mask
 
-                    z = net.apply({"params": params}, mel, lens, rng, method=prior_latent)
+                    z = net_prior.apply({"params": params}, mel, lens, rng,
+                                        method=prior_latent)
                 wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True,
                                     dtype=dtype, hifi_tail=hifi_tail)
             else:
@@ -198,7 +207,8 @@ def main() -> None:
 
     mel_l1, mel_l1_serving = fidelity_vs_reference(
         hps, net, params, synth_path_pallas=use_pallas, pallas_wn=use_pallas_wn,
-        dtype=dtype, hifi=hifi)
+        dtype=dtype, hifi=hifi,
+        net_prior=net_prior_f32 if int(hifi) >= 2 else None)
 
     # MFU: analytic model FLOPs of the synthesis graph (utils/flops.py --
     # packing/Pallas variants inflate *executed* MACs, and Pallas FLOPs are
@@ -280,7 +290,8 @@ def train_metrics() -> dict:
 
 
 def fidelity_vs_reference(hps, net, params, synth_path_pallas: bool,
-                          pallas_wn: bool, dtype=jnp.bfloat16, hifi: bool = False):
+                          pallas_wn: bool, dtype=jnp.bfloat16, hifi: int = 0,
+                          net_prior=None):
     """mel-L1 vs the committed torch-reference golden, computed on-device.
 
     The fixture (scripts/make_golden.py) pins weights (the same recipe as
@@ -345,8 +356,8 @@ def fidelity_vs_reference(hps, net, params, synth_path_pallas: bool,
                     z_p = m_p + eps.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
                     return n.flow(z_p, mask, g=None, reverse=True) * mask
 
-                z = net.apply({"params": params}, gmel, glens, geps,
-                              method=prior_latent)
+                z = (net_prior or net).apply({"params": params}, gmel, glens,
+                                             geps, method=prior_latent)
             wav = decoder_apply(params["dec"], z, DecoderConfig.from_hparams(hps),
                                 use_pallas=True, dtype=dtype, hifi_tail=hifi)
         else:

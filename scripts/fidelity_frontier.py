@@ -2,14 +2,17 @@
 """Serving RTF-vs-fidelity frontier (VERDICT r4 item 3 / next #3).
 
 One process, one parameter set (utils/golden.fidelity_params -- the weights
-the committed torch-reference golden fixture was generated from), four
+the committed torch-reference golden fixture was generated from), five
 operating points of the SAME serving path, differing only in where the
-f32 islands sit (kernels/decoder.py hifi_tail level):
+f32 islands sit (kernels/decoder.py hifi_tail ladder + prior precision):
 
   level 0 : pure bf16 Pallas path ("--fast" in bench.py)
   level 1 : + stage-4 two-pass hi/lo matmuls + stage-3/4 f32 activations
-            (the shipped default; bench.py headline)
-  level 2 : + stage-3 two-pass hi/lo matmuls
+            (the round-3/4 headline)
+  level 2 : + early-decoder f32 storage (conv_pre/ups/XLA MRF stages,
+            single-bf16 MXU operands) + f32 prior+flow -- the round-5
+            bench.py headline
+  level 3 : + stage-3 two-pass hi/lo matmuls (measured dominated)
   f32     : full f32 through the module graph (no Pallas), matmul DEFAULT
 
 For each point: ms/step and RTF under the bench.py protocol (B=32, 1000
@@ -72,8 +75,10 @@ def main():
         m_ref = mel_spectrogram(gwav[None].astype(jnp.float32), mel_cfg)
         return jnp.mean(jnp.abs(m_got - m_ref))
 
-    def make_point(dtype, level):
+    def make_point(dtype, level, prior_f32=False, batch_override=None):
         net = build_synthesizer(hps, dtype=dtype, weight_norm=False)
+        net_prior = (build_synthesizer(hps, weight_norm=False)
+                     if prior_f32 else net)
 
         def prior_latent(n, mel, lens, eps):
             _, m_p, logs_p, mask = n.enc_p(mel, lens)
@@ -91,7 +96,8 @@ def main():
                     z_p = m_p + eps * jnp.exp(logs_p) * 0.667
                     return n.flow(z_p, mask, g=None, reverse=True) * mask
 
-                z = net.apply({"params": params}, mel, lens, rng, method=prior_rng)
+                z = net_prior.apply({"params": params}, mel, lens, rng,
+                                    method=prior_rng)
                 wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True,
                                     dtype=dtype, hifi_tail=level)
             else:
@@ -103,8 +109,8 @@ def main():
         @jax.jit
         def fid(params, gmel, glens, geps):
             if pallas:
-                z = net.apply({"params": params}, gmel, glens, geps,
-                              method=prior_latent)
+                z = net_prior.apply({"params": params}, gmel, glens, geps,
+                                    method=prior_latent)
                 wav = decoder_apply(params["dec"], z, dec_cfg, use_pallas=True,
                                     dtype=dtype, hifi_tail=level)
             else:
@@ -116,40 +122,46 @@ def main():
 
         return synth, fid
 
+    # (name, dtype, level, prior_f32, batch). The f32 module-graph point OOMs
+    # at B=32 (41 GB HBM); time it at B=8 and report per-sample RTF scaled to
+    # B=32-equivalent audio -- an upper bound on its real B=32 RTF (less
+    # batch parallelism), which is all the frontier needs from it.
     points = [
-        ("bf16-fast(l0)", jnp.bfloat16, 0),
-        ("hifi(l1)", jnp.bfloat16, 1),
-        ("hifi+s3x2(l2)", jnp.bfloat16, 2),
-        ("f32", jnp.float32, 0),
+        ("bf16-fast(l0)", jnp.bfloat16, 0, False, BATCH),
+        ("tail(l1)", jnp.bfloat16, 1, False, BATCH),
+        ("l2+priorF32", jnp.bfloat16, 2, True, BATCH),   # the headline
+        ("l3(s3x2)+priorF32", jnp.bfloat16, 3, True, BATCH),
+        ("f32", jnp.float32, 0, False, 8),
     ]
     built = {}
-    for name, dtype, level in points:
-        synth, fid = make_point(dtype, level)
+    for name, dtype, level, pf32, bsz in points:
+        synth, fid = make_point(dtype, level, prior_f32=pf32)
         log(f"compile {name} ...")
         t0 = time.time()
-        _, chk = synth(params, mel, lens, jax.random.key(3))
+        _, chk = synth(params, mel[:bsz], lens[:bsz], jax.random.key(3))
         float(chk)
         l1 = float(fid(params, gmel, glens, geps))
-        built[name] = (synth, l1)
+        built[name] = (synth, l1, bsz)
         log(f"  compiled in {time.time() - t0:.0f}s, mel_l1={l1:.5f}")
 
     acc = {n: [] for n in built}
     for _ in range(REPS):
-        for name, (synth, _) in built.items():  # interleave points
+        for name, (synth, _, bsz) in built.items():  # interleave points
             t0 = time.perf_counter()
             for i in range(ITERS):
-                _, chk = synth(params, mel, lens, jax.random.key(3 + i))
+                _, chk = synth(params, mel[:bsz], lens[:bsz],
+                               jax.random.key(3 + i))
             float(chk)  # readback sync
             acc[name].append((time.perf_counter() - t0) / ITERS)
 
-    audio_s = BATCH * FRAMES * hop / sr
-    print(f"{'point':>14} {'ms/step':>8} {'RTF':>7} {'mel_l1':>8}")
+    print(f"{'point':>16} {'ms/step':>8} {'RTF':>7} {'mel_l1':>8}")
     rows = []
-    for name, (_, l1) in built.items():
+    for name, (_, l1, bsz) in built.items():
         dt = float(np.median(acc[name]))
-        rtf = audio_s / dt
-        print(f"{name:>14} {dt * 1e3:>8.1f} {rtf:>7.0f} {l1:>8.5f}")
-        rows.append({"point": name, "ms": round(dt * 1e3, 1),
+        rtf = bsz * FRAMES * hop / sr / dt
+        print(f"{name:>16} {dt * 1e3:>8.1f} {rtf:>7.0f} {l1:>8.5f}"
+              + (f"  [B={bsz}]" if bsz != BATCH else ""))
+        rows.append({"point": name, "ms": round(dt * 1e3, 1), "batch": bsz,
                      "rtf": round(rtf, 1), "mel_l1": round(l1, 5)})
     print(json.dumps({"frontier": rows}))
 

@@ -35,7 +35,7 @@ class Vocoder:
         fold: bool = True,
         use_pallas: bool | None = None,
         use_pallas_wn: bool | None = None,
-        hifi: bool | None = None,
+        hifi: bool | int | None = None,
         mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis for
@@ -66,15 +66,19 @@ class Vocoder:
             use_pallas_wn and fold
             and hps.model.hidden_channels % 64 == 0
         )
-        # Serving-fidelity decoder tail (kernels/mrf.py hifi_tail): f32
-        # activations on the two waveform-adjacent stages + 2-pass hi/lo bf16
-        # matmuls on the last -- the benched headline config (mel-L1 0.0087 on
-        # the timed path vs ~0.024 pure-bf16, at ~20% RTF cost). Default ON so
-        # the public API serves exactly what bench.py times; pass hifi=False
-        # for the max-throughput path (bench.py --fast).
+        # Serving-fidelity islands (kernels/decoder.py hifi_tail ladder,
+        # measured in scripts/fidelity_frontier.py): level 1 = the
+        # waveform-adjacent tail (f32 activations on the last two stages,
+        # 2-pass hi/lo bf16 matmuls on the last); level 2 (the headline,
+        # True maps here) also keeps the early decoder in f32 storage with
+        # single-bf16 MXU operands AND runs the prior+flow through the f32
+        # module graph -- mel-L1 0.0048 vs 0.0087 (level 1) / ~0.024 (off),
+        # at ~8% RTF cost over level 1. Pass hifi=False/0 for the
+        # max-throughput path (bench.py --fast), or an explicit int level.
         if hifi is None:
-            hifi = bool(hps.tpu.get("hifi_tail", True))
-        self.hifi = bool(hifi and self.use_pallas and dtype == jnp.bfloat16)
+            hifi = hps.tpu.get("hifi_tail", True)
+        hifi = 2 * int(hifi) if isinstance(hifi, bool) else int(hifi)
+        self.hifi = hifi if (self.use_pallas and dtype == jnp.bfloat16) else 0
         if fold:
             # Bake g*v/||v|| into plain weights -- the TPU analogue of the
             # reference's remove_weight_norm() before inference (models.py:162).
@@ -84,13 +88,20 @@ class Vocoder:
             self.net = build_synthesizer(hps, dtype=dtype, weight_norm=False)
         else:
             self.net = build_synthesizer(hps, dtype=dtype)
+        # hifi >= 2: the prior+flow runs through the f32 module graph (f32
+        # activations, DEFAULT-precision matmuls -- bf16 MXU operands); costs
+        # ~6 ms of the B=32x1000 step and removes the prior's 0.0032 mel-L1
+        # term (scripts/bisect_fidelity3.py / fidelity_frontier.py).
+        self._net_prior = (build_synthesizer(hps, weight_norm=False)
+                           if self.hifi >= 2 and fold else self.net)
         self.params = params_g
         self.dtype = dtype
         if self.use_pallas or self.use_pallas_wn:
             from smart_vocoder_tpu.kernels.decoder import DecoderConfig
 
             dec_cfg = DecoderConfig.from_hparams(hps) if self.use_pallas else None
-            apply_fn = partial(self._apply_infer_fast, self.net, dec_cfg, dtype,
+            apply_fn = partial(self._apply_infer_fast, self.net,
+                               self._net_prior, dec_cfg, dtype,
                                self.use_pallas_wn, self.hifi)
         else:
             apply_fn = partial(self._apply_infer, self.net)
@@ -176,13 +187,14 @@ class Vocoder:
         return o, mask
 
     @staticmethod
-    def _apply_infer_fast(net, dec_cfg, dtype, use_pallas_wn, hifi, params, mel,
-                          lengths, rng, noise_scale, sid=None, eps=None,
-                          batch_offset=0, eps_start=None):
+    def _apply_infer_fast(net, net_prior, dec_cfg, dtype, use_pallas_wn, hifi,
+                          params, mel, lengths, rng, noise_scale, sid=None,
+                          eps=None, batch_offset=0, eps_start=None):
         """Prior + reverse flow through the fused-WN functional path
         (kernels/encoder.py), decoder through the fused MRF fast path
         (kernels/decoder.py); either piece falls back to the module graph
-        when disabled or (for the WN kernel) when speaker-conditioned."""
+        when disabled or (for the WN kernel) when speaker-conditioned.
+        ``net_prior`` is the f32 module at hifi >= 2, else ``net``."""
         from smart_vocoder_tpu.ops import sequence_mask
 
         interpret = jax.default_backend() != "tpu"  # CPU runs the interpreter
@@ -216,7 +228,7 @@ class Vocoder:
                 z = n.flow(z_p, mask, g=g, reverse=True)
                 return z * mask, mask, g
 
-            z, mask, g = net.apply(
+            z, mask, g = net_prior.apply(
                 {"params": params}, mel, lengths, rng, sid, eps, method=prior_latent,
             )
 

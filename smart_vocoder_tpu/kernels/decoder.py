@@ -46,18 +46,22 @@ class DecoderConfig:
         )
 
 
-def _conv1d(x, w_oik, bias, padding, dtype):
+def _conv1d(x, w_oik, bias, padding, dtype, out_f32=False):
+    """``out_f32``: bf16 MXU operands but f32 accumulate/storage -- the
+    "f32 activations, single-bf16 matmul" recipe of kernels/mrf.py
+    f32_storage, applied to the XLA lowering (hifi level-3 early path)."""
     w = jnp.transpose(w_oik, (2, 1, 0)).astype(dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), w, (1,), [(padding, padding)],
         dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32 if out_f32 else None,
     )
     if bias is not None:
-        y = y + bias.astype(dtype)
+        y = y + bias.astype(y.dtype)
     return y
 
 
-def _conv_transpose_polyphase(x, w_iok, bias, k, s, p, dtype):
+def _conv_transpose_polyphase(x, w_iok, bias, k, s, p, dtype, out_f32=False):
     """Identical math to NormConvTranspose1d's polyphase path (nn/conv.py)."""
     import numpy as np
 
@@ -75,11 +79,12 @@ def _conv_transpose_polyphase(x, w_iok, bias, k, s, p, dtype):
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), wc, (1,), [(kp - 1 + d_min, -d_min)],
         dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32 if out_f32 else None,
     )
     bsz, t, _ = y.shape
     y = y.reshape(bsz, t * s, out_ch)
     if bias is not None:
-        y = y + bias.astype(dtype)
+        y = y + bias.astype(y.dtype)
     return y
 
 
@@ -149,9 +154,15 @@ def decoder_apply(
     tail at serving-fidelity precision (f32 activations, 2-pass bf16 matmuls,
     f32 waveform out; kernels/mrf.py hifi mode) -- the minimal f32 island
     that brings the bf16 serving path's mel-L1 under the 1e-2 target.
-    Accepts an int LEVEL: 0/False off, 1/True the default tail (stage-4 x2 +
-    stage-3 f32 storage), 2 extends the two-pass hi/lo matmul split to
-    stage 3 as well (scripts/fidelity_frontier.py measures the ladder)."""
+    Accepts an int LEVEL, ordered by measured mel-L1 improvement per ms
+    (scripts/fidelity_frontier.py): 0/False off; 1/True the tail island
+    (stage-4 x2 + stage-3 f32 storage); 2 additionally keeps the EARLY
+    decoder (conv_pre, the XLA polyphase upsamples, the ch>=128 XLA MRF
+    stages) in f32 activations with single-bf16 MXU operands -- the
+    f32_storage recipe applied to the XLA lowerings, Pallas stage I/O stays
+    bf16 (the serving headline, paired with an f32 prior by the callers);
+    3 also splits stage-3's matmuls two-pass hi/lo (measured dominated:
+    +37 ms for 4e-5 mel-L1 -- kept only as a frontier point)."""
     assert cfg.resblock == "1", "fast decoder supports ResBlock1 configs"
     num_kernels = len(cfg.resblock_kernel_sizes)
     ks = tuple(cfg.resblock_kernel_sizes)
@@ -163,9 +174,12 @@ def decoder_apply(
         f"got {cfg.resblock_dilation_sizes} -- use the flax Generator path"
     )
 
-    x = _conv1d(x, params_dec["conv_pre"]["weight"], params_dec["conv_pre"]["bias"], 3, dtype)
+    early_f32 = int(hifi_tail) >= 2
+    x = _conv1d(x, params_dec["conv_pre"]["weight"], params_dec["conv_pre"]["bias"], 3, dtype,
+                out_f32=early_f32)
     if g is not None:
-        x = x + _conv1d(g, params_dec["cond"]["weight"], params_dec["cond"]["bias"], 0, dtype)
+        x = x + _conv1d(g, params_dec["cond"]["weight"], params_dec["cond"]["bias"], 0, dtype,
+                        out_f32=early_f32)
 
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         if max_stages is not None and i >= max_stages:
@@ -221,22 +235,24 @@ def decoder_apply(
         else:
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             x = _conv_transpose_polyphase(x, ups["weight"], ups["bias"], k, u,
-                                          (k - u) // 2, dtype)
+                                          (k - u) // 2, dtype,
+                                          out_f32=early_f32)
             if (use_pallas and ch <= 64 and pack * ch % 128 == 0
                     and x.shape[1] % pack == 0):
                 # hifi_tail also upgrades this (second-to-last) stage to f32
                 # storage: its bf16 output rounding was the largest remaining
                 # term (0.0045) after the final-stage fix
-                x = fused_mrf_stage_packed(x, branches, ks, dil,
+                x = fused_mrf_stage_packed(x.astype(dtype), branches, ks, dil,
                                            interpret=interpret,
                                            f32_storage=int(hifi_tail) >= 1,
-                                           x2=int(hifi_tail) >= 2)
+                                           x2=int(hifi_tail) >= 3)
             elif (use_pallas and pallas_stage2 and ch % 128 == 0
                     and x.shape[1] % 512 == 0):
-                x = fused_mrf_stage(x, branches, ks, dil, tile=1024,
-                                    interpret=interpret)
+                x = fused_mrf_stage(x.astype(dtype), branches, ks, dil,
+                                    tile=1024, interpret=interpret)
             else:
-                x = mrf_stage_reference(x, branches, ks, dil)
+                x = mrf_stage_reference(x, branches, ks, dil,
+                                        mixed_f32=early_f32)
 
     if max_stages is not None:
         # prefix profiling: max_stages == n_stages still stops BEFORE

@@ -697,17 +697,26 @@ def mrf_stage_reference(
     branches: List[BranchWeights],
     kernel_sizes: Sequence[int],
     dilations: Sequence[int] = DILATIONS,
+    mixed_f32: bool = False,
 ) -> jnp.ndarray:
-    """Pure-jnp mirror of the fused stage (parity oracle + non-TPU fallback)."""
+    """Pure-jnp mirror of the fused stage (parity oracle + non-TPU fallback).
+
+    ``mixed_f32``: f32 activations/residuals with single-bf16 MXU operands
+    (the f32_storage recipe of the packed kernel, on the XLA lowering) --
+    the hifi level-3 early-decoder island. ``x`` should then be f32;
+    weights are rounded to bf16, conv accumulates into f32."""
 
     def conv(x, w, b, dil):
         k = w.shape[0]
         pad = (k * dil - dil) // 2
         y = jax.lax.conv_general_dilated(
-            x, w, (1,), [(pad, pad)], rhs_dilation=(dil,),
+            x.astype(jnp.bfloat16) if mixed_f32 else x,
+            w.astype(jnp.bfloat16) if mixed_f32 else w,
+            (1,), [(pad, pad)], rhs_dilation=(dil,),
             dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32 if mixed_f32 else None,
         )
-        return y + b
+        return y + (b.astype(jnp.float32) if mixed_f32 else b)
 
     acc = None
     for (w1, b1, w2, b2), k in zip(branches, kernel_sizes):

@@ -101,7 +101,11 @@ class StreamServer:
         self._with_sid = bool(getattr(vocoder.net, "use_spk_embed", False))
 
         inter = int(vocoder.net.inter_channels)
-        ns_dtype = vocoder.dtype  # infer casts eps to m_p.dtype pre-multiply
+        # infer casts eps to m_p.dtype pre-multiply; at hifi >= 2 the prior
+        # runs through the f32 module graph, so the noise scale must be f32
+        # there to stay bit-identical to the B=1 path's weak python scalar
+        ns_dtype = (jnp.float32 if getattr(vocoder, "hifi", 0) >= 2
+                    else vocoder.dtype)
         apply_fn = vocoder._apply_fn
 
         def batched_windows(params, mel, lengths, seeds, starts, noise_scales,

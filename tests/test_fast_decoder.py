@@ -264,3 +264,46 @@ def test_conv_transpose_packed_matches_polyphase():
     assert got.shape == want.shape == (2, 192, cout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hifi_level3_early_f32(gen_setup):
+    """hifi level 3: the early-decoder f32-storage island (f32 activations,
+    single-bf16 MXU operands in conv_pre / polyphase ups / XLA MRF stages)
+    strictly improves on the plain bf16 path, and the mixed-mode XLA MRF
+    stage sits between the bf16 and f32 references."""
+    from smart_vocoder_tpu.kernels.mrf import mrf_stage_reference
+
+    # -- unit: mrf_stage_reference(mixed_f32) ------------------------------
+    rng = np.random.default_rng(7)
+    ks, dil, c, t = (3, 7, 11), (1, 3, 5), 32, 64
+
+    def rw(*shape, scale=0.1):  # weights pre-rounded to bf16
+        return jnp.asarray(rng.normal(0, scale, shape), jnp.float32) \
+            .astype(jnp.bfloat16).astype(jnp.float32)
+
+    branches = [
+        (jnp.stack([rw(kk, c, c) for _ in dil]), jnp.stack([rw(c) for _ in dil]),
+         jnp.stack([rw(kk, c, c) for _ in dil]), jnp.stack([rw(c) for _ in dil]))
+        for kk in ks
+    ]
+    x = jnp.asarray(rng.normal(0, 0.5, (2, t, c)), jnp.float32)
+    want = mrf_stage_reference(x, branches, ks, dil)
+    got_mixed = mrf_stage_reference(x, branches, ks, dil, mixed_f32=True)
+    assert got_mixed.dtype == jnp.float32
+    bf16_branches = [tuple(a.astype(jnp.bfloat16) for a in br) for br in branches]
+    got_bf16 = mrf_stage_reference(x.astype(jnp.bfloat16), bf16_branches, ks, dil)
+    err_mixed = np.abs(np.asarray(got_mixed) - np.asarray(want)).mean()
+    err_bf16 = np.abs(np.asarray(got_bf16, np.float32) - np.asarray(want)).mean()
+    assert err_mixed < 0.85 * err_bf16, (err_mixed, err_bf16)
+
+    # -- end-to-end: decoder_apply(hifi_tail=3) ----------------------------
+    cfg, folded, xin, want_dec = gen_setup
+    for pallas in (False, True):
+        got_l3 = decoder_apply(folded, xin, cfg, use_pallas=pallas,
+                               interpret=pallas, dtype=jnp.bfloat16, hifi_tail=3)
+        got_l0 = decoder_apply(folded, xin, cfg, use_pallas=pallas,
+                               interpret=pallas, dtype=jnp.bfloat16, hifi_tail=0)
+        e3 = np.abs(np.asarray(got_l3, np.float32) - np.asarray(want_dec)).mean()
+        e0 = np.abs(np.asarray(got_l0, np.float32) - np.asarray(want_dec)).mean()
+        assert got_l3.shape == want_dec.shape
+        assert e3 < e0, (pallas, e3, e0)
