@@ -206,8 +206,11 @@ def mrf_branch_bwd(
     (weight grads accumulate in f32 on-chip)."""
     bsz, t, c = x.shape
     w1, b1, w2, b2 = (a.astype(x.dtype) for a in branch)
-    h = branch_bwd_halo(k, dilations)
-    tile = min(tile, max(8, t))
+    # Sublane-align halo AND tile: Mosaic rejects DMA slices whose row count
+    # (tile + 2h) isn't a multiple of 8 ("Slice shape along dimension 1 must
+    # be aligned to tiling (8)"); extra halo rows are zero-padded + masked.
+    h = -(-branch_bwd_halo(k, dilations) // 8) * 8
+    tile = -(-min(tile, max(8, t)) // 8) * 8
     t_pad = -t % tile
     xp = jnp.pad(x, ((0, 0), (h, h + t_pad), (0, 0)))
     gp = jnp.pad(g.astype(x.dtype), ((0, 0), (h, h + t_pad), (0, 0)))
